@@ -1,0 +1,30 @@
+"""Test harness: force a virtual 8-device CPU platform BEFORE jax import.
+
+This is the 'multi-node without a cluster' strategy from SURVEY.md section 4:
+all sharding/pjit tests run against 8 simulated devices so distributed
+behaviour is covered in CI without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
+    return devs
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.key(0)
