@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize pins jax_platforms to the tunneled TPU; tests must
+# run on the virtual 8-device CPU platform regardless.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

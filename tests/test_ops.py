@@ -1,0 +1,240 @@
+"""Golden-parity tests for renderer ops vs independent numpy oracles —
+the portable version of the reference's CUDA-vs-python kernel tests
+(src/models/geometry/render/renderutils/tests/test_bsdf.py et al.,
+SURVEY section 4.1), with real assertions instead of prints.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unirenderer_tpu.ops import bsdf, cubemap, image_loss, transform
+
+
+RNG = np.random.default_rng(0)
+
+
+def _rand(*shape):
+    return RNG.standard_normal(shape).astype(np.float32)
+
+
+def _nrm(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# BSDF vs numpy oracle
+# ---------------------------------------------------------------------------
+
+def test_lambert_oracle():
+    n, wi = _nrm(_rand(64, 3)), _nrm(_rand(64, 3))
+    out = np.asarray(bsdf.lambert(jnp.asarray(n), jnp.asarray(wi)))
+    expect = np.clip((n * wi).sum(-1, keepdims=True), 0, None) / math.pi
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_fresnel_schlick_oracle():
+    c = RNG.uniform(0, 1, (64, 1)).astype(np.float32)
+    f0 = RNG.uniform(0, 1, (64, 1)).astype(np.float32)
+    out = np.asarray(bsdf.fresnel_schlick(jnp.asarray(f0), 1.0,
+                                          jnp.asarray(c)))
+    cc = np.clip(c, 1e-4, 1 - 1e-4)
+    expect = f0 + (1 - f0) * (1 - cc) ** 5
+    np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+
+def test_ndf_ggx_integrates_to_one():
+    """The GGX NDF must satisfy \\int D(h) cos(h) dh = 1 over the
+    hemisphere (projected-area normalization)."""
+    alpha_sqr = 0.3 ** 2
+    n_theta, n_phi = 512, 64
+    theta = (np.arange(n_theta) + 0.5) * (math.pi / 2 / n_theta)
+    d = np.asarray(bsdf.ndf_ggx(alpha_sqr, jnp.asarray(
+        np.cos(theta, dtype=np.float32)[:, None])))[:, 0]
+    integral = float(np.sum(
+        d * np.cos(theta) * np.sin(theta)) * (math.pi / 2 / n_theta)
+        * 2 * math.pi)
+    assert abs(integral - 1.0) < 0.02
+
+
+def test_pbr_specular_reciprocity_region():
+    """Specular lobe must be zero for backfacing light/view."""
+    n = np.tile(np.array([0, 0, 1.0], np.float32), (8, 1))
+    wo = _nrm(np.abs(_rand(8, 3)))              # above surface
+    wi = wo.copy()
+    wi[:, 2] = -np.abs(wi[:, 2])                # below surface
+    out = np.asarray(bsdf.pbr_specular(
+        jnp.full((8, 3), 0.5), jnp.asarray(n), jnp.asarray(wo),
+        jnp.asarray(wi), jnp.full((8, 1), 0.2)))
+    assert np.all(out == 0.0)
+
+
+def test_pbr_bsdf_finite_and_differentiable():
+    kd = jnp.asarray(RNG.uniform(0, 1, (4, 16, 16, 3)).astype(np.float32))
+    arm = jnp.asarray(RNG.uniform(0.1, 1, (4, 16, 16, 3)).astype(np.float32))
+    pos = jnp.asarray(_rand(4, 16, 16, 3))
+    nrm = jnp.asarray(_nrm(_rand(4, 16, 16, 3)))
+    view = jnp.asarray(_rand(4, 1, 1, 3) + np.array([0, 0, 5.0]))
+    light = jnp.asarray(_rand(4, 1, 1, 3) + np.array([0, 5.0, 0]))
+
+    def f(kd):
+        return jnp.mean(bsdf.pbr_bsdf(kd, arm, pos, nrm, view, light))
+
+    val, grad = jax.value_and_grad(f)(kd)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_prepare_shading_normal_two_sided():
+    """Backfacing geometry normal must flip toward the viewer."""
+    pos = jnp.zeros((1, 3))
+    view = jnp.asarray([[0.0, 0.0, 1.0]])
+    n_back = jnp.asarray([[0.0, 0.0, -1.0]])     # facing away
+    out = np.asarray(bsdf.prepare_shading_normal(
+        pos, view, None, n_back, n_back, n_back, two_sided_shading=True))
+    assert out[0, 2] > 0.9                        # flipped toward viewer
+
+
+# ---------------------------------------------------------------------------
+# Transforms vs numpy matmul (reference tests/test_mesh.py strategy)
+# ---------------------------------------------------------------------------
+
+def test_xfm_points_oracle():
+    pts = _rand(2, 100, 3)
+    mtx = _rand(2, 4, 4)
+    out = np.asarray(transform.xfm_points(jnp.asarray(pts), jnp.asarray(mtx)))
+    p1 = np.concatenate([pts, np.ones((2, 100, 1), np.float32)], -1)
+    expect = np.einsum("bni,bji->bnj", p1, mtx)
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_xfm_vectors_oracle():
+    vec = _rand(2, 50, 3)
+    mtx = _rand(2, 4, 4)
+    out = np.asarray(transform.xfm_vectors(jnp.asarray(vec),
+                                           jnp.asarray(mtx)))
+    expect = np.einsum("bni,bji->bnj", vec, mtx[:, :3, :3])
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Image loss (reference tests/test_loss.py strategy)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("loss", ["l1", "mse", "smape", "relmse"])
+@pytest.mark.parametrize("tonemap", ["none", "log_srgb"])
+def test_image_loss_matches_oracle(loss, tonemap):
+    img = np.abs(_rand(2, 8, 8, 3))
+    ref = np.abs(_rand(2, 8, 8, 3))
+
+    def tm(x):
+        if tonemap == "none":
+            return x
+        f = np.log(np.clip(x, 0, 65535) + 1)
+        return np.where(f > 0.0031308,
+                        1.055 * np.clip(f, 0.0031308, None) ** (1 / 2.4)
+                        - 0.055, 12.92 * f)
+
+    a, b = tm(img), tm(ref)
+    e = a - b
+    if loss == "l1":
+        expect = np.abs(e).mean()
+    elif loss == "mse":
+        expect = (e * e).mean()
+    elif loss == "smape":
+        expect = (2 * np.abs(e) / (np.abs(a) + np.abs(b) + 0.01)).mean()
+    else:
+        expect = (e * e / (a * a + b * b + 0.01)).mean()
+    out = float(image_loss.image_loss(jnp.asarray(img), jnp.asarray(ref),
+                                      loss, tonemap))
+    np.testing.assert_allclose(out, expect, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Cubemap
+# ---------------------------------------------------------------------------
+
+def test_dir_to_cube_uv_roundtrip():
+    """cube_to_dir -> dir_to_cube_uv must be the identity on face interiors."""
+    for face in range(6):
+        gy, gx = cubemap.face_grid(8)
+        dirs = cubemap.cube_to_dir(face, gx, gy)
+        f, x, y = cubemap.dir_to_cube_uv(dirs)
+        np.testing.assert_array_equal(np.asarray(f), face)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(gx), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(gy), atol=1e-5)
+
+
+def test_sample_cubemap_constant():
+    cube = jnp.full((6, 16, 16, 3), 2.5)
+    dirs = jnp.asarray(_nrm(_rand(100, 3)))
+    out = np.asarray(cubemap.sample_cubemap(cube, dirs))
+    np.testing.assert_allclose(out, 2.5, rtol=1e-6)
+
+
+def test_sample_cubemap_exact_texel():
+    """Sampling exactly at a texel-center direction returns that texel."""
+    res = 8
+    cube = jnp.asarray(RNG.uniform(0, 1, (6, res, res, 3)).astype(np.float32))
+    dirs = cubemap.all_face_dirs(res)
+    out = np.asarray(cubemap.sample_cubemap(cube, dirs))
+    np.testing.assert_allclose(out, np.asarray(cube), atol=1e-5)
+
+
+def test_latlong_roundtrip_smooth():
+    """latlong -> cube -> latlong on a smooth function stays close."""
+    h, w = 32, 64
+    gy = (np.arange(h) + 0.5) / h * math.pi
+    gx = (np.arange(w) + 0.5) / w * 2 * math.pi
+    img = (np.sin(gy)[:, None] * np.cos(gx)[None, :])[..., None]
+    img = np.repeat(img, 3, axis=-1).astype(np.float32)
+    cube = cubemap.latlong_to_cubemap(jnp.asarray(img), 32)
+    back = np.asarray(cubemap.cubemap_to_latlong(cube, (h, w)))
+    assert np.abs(back - img).mean() < 0.05
+
+
+def test_solid_angles_sum_to_sphere():
+    sa = np.asarray(cubemap.texel_solid_angles(16))
+    total = sa.sum() * 6
+    np.testing.assert_allclose(total, 4 * math.pi, rtol=1e-3)
+
+
+def test_diffuse_cubemap_constant_env():
+    cube = jnp.full((6, 8, 8, 3), 3.0)
+    out = np.asarray(cubemap.diffuse_cubemap(cube))
+    np.testing.assert_allclose(out, 3.0, rtol=1e-4)
+
+
+def test_diffuse_cubemap_directional():
+    """A single bright +y face must make the +y diffuse strongest."""
+    cube = np.zeros((6, 8, 8, 3), np.float32)
+    cube[2] = 1.0                                   # +y face bright
+    out = np.asarray(cubemap.diffuse_cubemap(jnp.asarray(cube)))
+    up = out[2, 4, 4, 0]                            # normal facing +y
+    down = out[3, 4, 4, 0]                          # normal facing -y
+    assert up > 0.5 and down < 0.1
+
+
+def test_specular_cubemap_rough_vs_sharp():
+    """Low roughness preserves contrast; high roughness blurs toward mean."""
+    cube = np.zeros((6, 16, 16, 3), np.float32)
+    cube[4] = 1.0                                   # +z face bright
+    sharp = np.asarray(cubemap.specular_cubemap(jnp.asarray(cube), 0.08,
+                                                num_samples=64, chunk=16))
+    rough = np.asarray(cubemap.specular_cubemap(jnp.asarray(cube), 0.7,
+                                                num_samples=64, chunk=16))
+    # center of the bright face stays bright when sharp
+    assert sharp[4, 8, 8, 0] > 0.9
+    # rough: energy leaks to adjacent faces
+    assert rough[0].max() > sharp[0].max()
+
+
+def test_build_env_mips_shapes():
+    base = jnp.ones((6, 32, 32, 3))
+    spec, diff = cubemap.build_env_mips(base, min_res=8, num_samples=32)
+    assert [m.shape[1] for m in spec] == [32, 16, 8]
+    assert diff.shape == (6, 8, 8, 3)
+    assert np.isfinite(np.asarray(diff)).all()

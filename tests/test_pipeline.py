@@ -1,0 +1,84 @@
+"""End-to-end tiny-model smoke tests for the sampling pipelines
+(SURVEY section 4: 'end-to-end tiny-model smoke (4x4 latent, 2 steps)')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unirenderer_tpu.core import config
+from unirenderer_tpu.pipelines import UniRendererPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = config.tiny()
+    return UniRendererPipeline.create(cfg, jax.random.key(0),
+                                      dtype=jnp.float32)
+
+
+def _maps(cfg, b=1):
+    s = cfg.vae.sample_size
+    k = jax.random.key(7)
+    names = ("normal", "albedo", "spec_light", "diff_light", "env", "mask")
+    ks = jax.random.split(k, len(names))
+    return {n: jax.random.uniform(kk, (b, s, s, 3), minval=-1, maxval=1)
+            for n, kk in zip(names, ks)}
+
+
+def test_forward_rendering(pipe):
+    maps = _maps(pipe.cfg)
+    out = pipe.mask2image_3mod_albedo(
+        **maps, metallic=jnp.array([0.3]), roughness=jnp.array([0.8]),
+        rng=jax.random.key(1), num_steps=3)
+    s = pipe.cfg.vae.sample_size
+    assert out.shape == (1, s, s, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_inverse_rendering(pipe):
+    cfg = pipe.cfg
+    s = cfg.vae.sample_size
+    image = jax.random.uniform(jax.random.key(2), (1, s, s, 3),
+                               minval=-1, maxval=1)
+    mask = jnp.ones((1, s, s, 3))
+    out = pipe.real_image2mask_3mod_albedo(
+        image=image, mask=mask, rng=jax.random.key(3), num_steps=3,
+        ensemble=2)
+    for k in ("normal", "albedo", "spec_light", "diff_light", "env"):
+        assert out[k].shape == (1, s, s, 3)
+        assert np.isfinite(np.asarray(out[k])).all()
+    assert out["metallic"].shape[0] == 1
+    assert np.isfinite(np.asarray(out["metallic"])).all()
+
+
+def test_joint_sample(pipe):
+    cfg = pipe.cfg
+    s = cfg.vae.sample_size
+    mask = jnp.ones((1, s, s, 3))
+    img_lat, attr_groups = pipe.joint_sample(
+        batch=1, mask=mask, rng=jax.random.key(4), num_steps=3)
+    assert img_lat.shape[-1] == 4
+    assert attr_groups.shape[0] == pipe.n_groups
+    assert np.isfinite(np.asarray(img_lat)).all()
+    assert np.isfinite(np.asarray(attr_groups)).all()
+
+
+def test_material_latent_roundtrip(pipe):
+    m = jnp.array([0.4])
+    r = jnp.array([0.9])
+    lat = pipe.material_latent(m, r, (1, 8, 8, 4))
+    m2, r2 = pipe.material_from_latent(lat)
+    np.testing.assert_allclose(float(m2.mean()), 0.4, atol=1e-6)
+    np.testing.assert_allclose(float(r2.mean()), 0.9, atol=1e-6)
+
+
+def test_vae_roundtrip_shapes(pipe):
+    cfg = pipe.cfg
+    s = cfg.vae.sample_size
+    img = jax.random.uniform(jax.random.key(5), (2, s, s, 3),
+                             minval=-1, maxval=1)
+    z = pipe.encode_images(img, jax.random.key(6))
+    assert z.shape == (2, s // cfg.vae.downscale, s // cfg.vae.downscale, 4)
+    back = pipe.decode_latents(z)
+    assert back.shape == img.shape

@@ -60,12 +60,22 @@ def _perfect_model(target):
 
 
 def test_ddim_converges_to_x0():
+    """With a perfect constant-x0 model, DDIM preserves the initial eps
+    exactly, so the final sample is a_0*x0 + s_0*eps with s_0 = 0.029 —
+    the same residual the reference's samplers leave at t=0."""
     sch = DiffusionSchedule.create(DiffusionConfig())
     target = jnp.full((1, 8, 8, 4), 0.7)
     ts = inference_timesteps(1000, 20)
     x = jax.random.normal(jax.random.key(0), target.shape)
-    out = samplers.sample_loop(sch, _perfect_model(target), x, ts, "ddim")
-    np.testing.assert_allclose(np.asarray(out), 0.7, atol=1e-3)
+    out = np.asarray(
+        samplers.sample_loop(sch, _perfect_model(target), x, ts, "ddim"))
+    acp = np.asarray(sch.alphas_cumprod)
+    a0, s0 = np.sqrt(acp[0]), np.sqrt(1 - acp[0])
+    aT, sT = np.sqrt(acp[999]), np.sqrt(1 - acp[999])
+    eps0 = (np.asarray(x) - aT * 0.7) / sT      # eps preserved by DDIM
+    expect = a0 * 0.7 + s0 * eps0
+    np.testing.assert_allclose(out, expect, atol=1e-4)
+    assert np.abs(out - 0.7).max() < 6 * s0
 
 
 def test_unipc_converges_to_x0():
@@ -73,8 +83,10 @@ def test_unipc_converges_to_x0():
     target = jnp.full((1, 8, 8, 4), -0.3)
     ts = inference_timesteps(1000, 20)
     x = jax.random.normal(jax.random.key(1), target.shape)
-    out = samplers.sample_loop(sch, _perfect_model(target), x, ts, "unipc")
-    np.testing.assert_allclose(np.asarray(out), -0.3, atol=5e-3)
+    out = np.asarray(
+        samplers.sample_loop(sch, _perfect_model(target), x, ts, "unipc"))
+    assert np.abs(out + 0.3).max() < 0.15          # within ~5 sigma_0
+    assert abs(out.mean() + 0.3) < 0.03
 
 
 def test_unipc_tracks_linear_model():

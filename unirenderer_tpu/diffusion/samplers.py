@@ -82,7 +82,7 @@ def _uni_bh2_update(schedule: DiffusionSchedule, x: jax.Array,
                     m0: jax.Array, s0: jax.Array, t: jax.Array,
                     m1: jax.Array, s1: jax.Array,
                     use_second: jax.Array,
-                    corrector_mt: jax.Array | None) -> jax.Array:
+                    corrector_mt: jax.Array | None = None) -> jax.Array:
     """Shared core of the UniP (predictor) and UniC (corrector) bh2 update.
 
     Transition from timestep s0 to t given newest model output m0 at s0,
@@ -157,7 +157,7 @@ def unipc_step(schedule: DiffusionSchedule, state: UniPCState, x: jax.Array,
     # ---- predictor t -> t_next ----
     pred_second = (step >= 1) & jnp.logical_not(is_final)
     x_next = _uni_bh2_update(
-        schedule, x, x0_pred, t, state.m0, state.t0,
+        schedule, x, x0_pred, t, t_next, state.m0, state.t0,
         pred_second, corrector_mt=None)
 
     new_state = UniPCState(

@@ -1,0 +1,118 @@
+"""2D texture sampling + split-sum FG LUT.
+
+Replaces:
+  * `dr.texture(..., filter_mode='linear', boundary_mode='clamp')` for the
+    FG LUT lookup (reference src/utils/render.py:64-65, SURVEY N7/N8),
+  * `Texture2D`/`texture2d_mip` material texture sampling
+    (reference src/utils/texture.py:21-60, SURVEY R2).
+
+The 256x256x2 FG (environment BRDF) lookup table is REGENERATED from the
+split-sum integral (Karis 2013) instead of shipping the reference's binary
+blob (src/data/bsdf_256_256.bin) — same table, reproducible from code.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sample_texture2d(tex: jax.Array, uv: jax.Array,
+                     wrap: str = "clamp") -> jax.Array:
+    """Bilinear 2D sample.  tex (H,W,C); uv (...,2) in [0,1] (u right,
+    v down — matching dr.texture conventions).  Returns (...,C)."""
+    h, w = tex.shape[:2]
+    fx = uv[..., 0] * w - 0.5
+    fy = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    wx = (fx - x0)[..., None]
+    wy = (fy - y0)[..., None]
+    if wrap == "clamp":
+        xi = lambda x: jnp.clip(x, 0, w - 1)
+        yi = lambda y: jnp.clip(y, 0, h - 1)
+    elif wrap == "wrap":
+        xi = lambda x: jnp.mod(x, w)
+        yi = lambda y: jnp.mod(y, h)
+    else:
+        raise ValueError(wrap)
+    c00 = tex[yi(y0), xi(x0)]
+    c01 = tex[yi(y0), xi(x0 + 1)]
+    c10 = tex[yi(y0 + 1), xi(x0)]
+    c11 = tex[yi(y0 + 1), xi(x0 + 1)]
+    top = c00 * (1 - wx) + c01 * wx
+    bot = c10 * (1 - wx) + c11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+# ---------------------------------------------------------------------------
+# FG LUT (split-sum environment BRDF): FG(NdotV, roughness) -> (scale, bias)
+# ---------------------------------------------------------------------------
+
+def _integrate_fg(n_dot_v: jax.Array, roughness: jax.Array,
+                  num_samples: int = 512):
+    """Karis split-sum BRDF integration for one (NdotV, roughness) grid."""
+    from unirenderer_tpu.ops.cubemap import _hammersley
+
+    v = jnp.stack([jnp.sqrt(1.0 - n_dot_v ** 2),
+                   jnp.zeros_like(n_dot_v), n_dot_v], axis=-1)  # (...,3)
+    xis = _hammersley(num_samples)                               # (S,2)
+    a_sum = jnp.zeros(n_dot_v.shape)
+    b_sum = jnp.zeros(n_dot_v.shape)
+    a = roughness * roughness
+
+    def sample_h(xi):
+        phi = 2.0 * math.pi * xi[0]
+        cos_t = jnp.sqrt((1.0 - xi[1])
+                         / (1.0 + (a * a - 1.0) * xi[1] + 1e-12))
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t ** 2, 0.0))
+        return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+                          cos_t], axis=-1)
+
+    def body(carry, xi):
+        a_acc, b_acc = carry
+        h = sample_h(xi)                                         # (...,3)
+        l = 2.0 * jnp.sum(v * h, -1, keepdims=True) * h - v
+        n_dot_l = jnp.maximum(l[..., 2], 0.0)
+        n_dot_h = jnp.maximum(h[..., 2], 0.0)
+        v_dot_h = jnp.maximum(jnp.sum(v * h, -1), 0.0)
+        # Smith G (Schlick-GGX, IBL k) — Karis eq.
+        k = a * a / 2.0
+        g1 = lambda c: c / (c * (1 - k) + k + 1e-8)
+        g = g1(n_dot_l) * g1(jnp.maximum(n_dot_v, 1e-4))
+        g_vis = jnp.where(n_dot_l > 0,
+                          g * v_dot_h / jnp.maximum(
+                              n_dot_h * jnp.maximum(n_dot_v, 1e-4), 1e-8),
+                          0.0)
+        fc = (1.0 - v_dot_h) ** 5
+        return (a_acc + (1.0 - fc) * g_vis, b_acc + fc * g_vis), None
+
+    (a_sum, b_sum), _ = jax.lax.scan(body, (a_sum, b_sum), xis)
+    return a_sum / num_samples, b_sum / num_samples
+
+
+@functools.lru_cache(maxsize=1)
+def fg_lut(res: int = 256, num_samples: int = 512) -> np.ndarray:
+    """(1, res, res, 2) FG LUT; axis 0 = NdotV (u), axis 1 = roughness (v)
+    — the layout read by the reference at render.py:64 (bsdf_256_256.bin).
+
+    Cached on disk next to the package for reuse across processes.
+    """
+    cache = os.path.join(os.path.dirname(__file__), "_fg_lut_%d.npy" % res)
+    if os.path.exists(cache):
+        return np.load(cache)
+    g = (jnp.arange(res) + 0.5) / res
+    n_dot_v, rough = jnp.meshgrid(g, g, indexing="xy")   # u -> NdotV
+    fa, fb = jax.jit(_integrate_fg, static_argnums=2)(
+        n_dot_v, rough, num_samples)
+    out = np.asarray(jnp.stack([fa, fb], axis=-1))[None]
+    try:
+        np.save(cache, out)
+    except OSError:
+        pass
+    return out.astype(np.float32)

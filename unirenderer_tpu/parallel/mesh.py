@@ -1,0 +1,102 @@
+"""Device-mesh / sharding utilities.
+
+The reference's distributed story is single-node torch DDP via HF Accelerate
+with static YAML topologies (SURVEY section 2.5; accelerate_configs/*.yaml,
+train/train.py:882-887,1140-1142).  The TPU-native equivalent: a
+`jax.sharding.Mesh` over all devices, batch sharded on the `data` axis,
+parameters replicated (pure DP) or FSDP-sharded along `data`, and XLA
+inserting the gradient `psum` over ICI inside the one compiled train step —
+no NCCL, no wrapper classes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first n devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim across the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Device-put a host batch with the leading dim sharded over `data`."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
+def fsdp_param_sharding(params: Any, mesh: Mesh, axis_name: str = "data",
+                        min_size: int = 2 ** 18) -> Any:
+    """FSDP-style sharding rules: shard the largest-divisible axis of each
+    big parameter along `data`; small params stay replicated.
+
+    Optional memory saver for >1 replica (SURVEY 2.5 'optional stretch');
+    correctness is unchanged because XLA all-gathers on demand.
+    """
+    n = mesh.shape[axis_name]
+
+    def rule(x):
+        if x.size < min_size:
+            return NamedSharding(mesh, P())
+        # choose the largest dim divisible by n
+        dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
+        for d in dims:
+            if x.shape[d] % n == 0:
+                spec = [None] * x.ndim
+                spec[d] = axis_name
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def apply_sharding(tree: Any, shardings: Any) -> Any:
+    return jax.tree.map(jax.device_put, tree, shardings)
+
+
+def make_sharded_train_step(train_step, mesh: Mesh,
+                            axis_name: str = "data",
+                            fsdp: bool = False, state=None):
+    """jit the train step with DP shardings: batch split over `data`,
+    state/params replicated (or FSDP-sharded), rng replicated.
+
+    The returned function has signature train_step(state, vae_params, ctx,
+    batch, rng); gradients are averaged by XLA's sharding propagation (the
+    mean over the global batch implies a psum over ICI).
+    """
+    repl = replicated(mesh)
+    bs = batch_sharding(mesh, axis_name)
+    if fsdp and state is not None:
+        state_sh = fsdp_param_sharding(state, mesh, axis_name)
+    else:
+        state_sh = repl
+
+    return jax.jit(
+        train_step,
+        in_shardings=(state_sh, repl, repl, bs, repl),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )

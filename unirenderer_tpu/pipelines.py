@@ -1,0 +1,420 @@
+"""UniRendererPipeline — the inference engine.
+
+Re-designs the reference's `UniRendererPipeline` (models/pipeline.py:124-4290,
+11 public sampling methods over vae/text_encoder/unet/controlnet/controldec
+with eight post-hoc Python scheduler objects, eval/test_real.py:485-493) as a
+single generic dual-stream sampler:
+
+  * ONE jitted program per mode: the whole N-step denoise loop is a
+    `lax.scan`; scheduler state is a stacked pytree stepped with `vmap`
+    over modality groups instead of Python objects (SURVEY section 7.4).
+  * A `ModeSpec` says which stream(s) and which attribute groups are
+    denoised vs clean; every reference method is a thin wrapper.
+
+Reference method -> ModeSpec mapping (reference file:line):
+  mask2image_3mod_albedo        pipeline.py:1368  forward rendering: attrs
+                                clean @ t=0, image denoised
+  mask2image_3mod_albedo_black  pipeline.py:1700  same, black background
+  image2mask_3mod_albedo        pipeline.py:1990  inverse: image+mask clean,
+                                6 attr groups denoised
+  real_image2mask_3mod_albedo   pipeline.py:2391  production inverse (real
+                                photo + SAM mask), ensemble of 5
+  joint_sample                  pipeline.py:3427  both streams denoised
+  rendering / inverse_rendering pipeline.py:3684/3970  legacy 16-ch layout
+  mask2image / image2mask       pipeline.py:819/3108   legacy 16-ch layout
+  mask2image_3mod / image2mask_3mod  pipeline.py:1100/2810  legacy 12-ch
+
+Production attribute latent layout (28 ch, concat order of
+train/train.py:1307-1310 and pipeline.py:1577):
+  [ mask | material | normal | albedo | spec_light | diff_light | env ] x 4ch
+The material group at inference is NOT VAE-encoded: it is the raw constant
+map [metallic, metallic, roughness, roughness]*2-1 (pipeline.py:1536-1541),
+and inverse sampling reads metallic/roughness back as the means of the two
+halves (eval/test_real.py:557-564).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unirenderer_tpu.core.config import (
+    ATTR_MODALITIES, LATENT_CHANNELS, SystemConfig,
+)
+from unirenderer_tpu.diffusion.samplers import UniPCState, ddim_step, unipc_step
+from unirenderer_tpu.diffusion.schedule import (
+    DiffusionSchedule, inference_timesteps,
+)
+from unirenderer_tpu.models.clip_text import (
+    CLIPTextEncoder, blank_ids, init_text_encoder,
+)
+from unirenderer_tpu.models.dual_stream import DualStreamModel, init_dual_stream
+from unirenderer_tpu.models.vae import AutoencoderKL, init_vae
+
+
+@dataclasses.dataclass(frozen=True)
+class ModeSpec:
+    """Static description of one sampling mode (hashable -> jit static arg)."""
+    name: str
+    denoise_img: bool
+    denoise_attr: Tuple[bool, ...]      # per attr group AFTER the mask group
+
+    @property
+    def any_attr(self) -> bool:
+        return any(self.denoise_attr)
+
+
+# Production modes over the 6 non-mask groups
+# (material, normal, albedo, spec_light, diff_light, env)
+FORWARD_RENDER = ModeSpec("forward", True, (False,) * 6)
+INVERSE_RENDER = ModeSpec("inverse", False, (True,) * 6)
+JOINT_SAMPLE = ModeSpec("joint", True, (True,) * 6)
+
+
+class UniRendererPipeline:
+    """Bundles models + params and exposes the reference's sampling API."""
+
+    def __init__(self, cfg: SystemConfig, dual, dual_params, vae, vae_params,
+                 text, text_params):
+        self.cfg = cfg
+        self.dual: DualStreamModel = dual
+        self.dual_params = dual_params
+        self.vae: AutoencoderKL = vae
+        self.vae_params = vae_params
+        self.text: CLIPTextEncoder = text
+        self.text_params = text_params
+        self.schedule = DiffusionSchedule.create(cfg.diffusion)
+        self._blank_ctx = None
+        self.n_groups = cfg.unet.attr_channels // LATENT_CHANNELS - 1  # 6
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def create(cls, cfg: SystemConfig, rng: jax.Array,
+               dtype=jnp.bfloat16) -> "UniRendererPipeline":
+        k1, k2, k3 = jax.random.split(rng, 3)
+        dual, dual_params = init_dual_stream(
+            cfg.unet, k1, ctx_len=cfg.text.max_length, dtype=dtype)
+        vae, vae_params = init_vae(cfg.vae, k2, dtype=dtype)
+        text, text_params = init_text_encoder(cfg.text, k3, dtype=dtype)
+        return cls(cfg, dual, dual_params, vae, vae_params, text, text_params)
+
+    # ------------------------------------------------------------------
+    # Encoders / decoders
+    # ------------------------------------------------------------------
+
+    def blank_context(self, batch: int) -> jax.Array:
+        """Cached context for the constant ' ' prompt (train/train.py:1254)."""
+        if self._blank_ctx is None:
+            self._blank_ctx = jax.jit(
+                lambda p: self.text.apply(p, blank_ids(self.cfg.text))
+            )(self.text_params)
+        return jnp.broadcast_to(
+            self._blank_ctx,
+            (batch,) + self._blank_ctx.shape[1:])
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _vae_encode(self, params, images, rng):
+        mean, logvar = self.vae.apply(params, images, method="encode")
+        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+            rng, mean.shape, mean.dtype)
+        return z * self.cfg.vae.scaling_factor
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _vae_decode(self, params, latents):
+        return self.vae.apply(params, latents / self.cfg.vae.scaling_factor,
+                              method="decode")
+
+    def encode_images(self, images: jax.Array, rng: jax.Array) -> jax.Array:
+        """images (B,H,W,3) in [-1,1] -> scaled latents (B,h,w,4)."""
+        return self._vae_encode(self.vae_params, images, rng)
+
+    def decode_latents(self, latents: jax.Array) -> jax.Array:
+        return self._vae_decode(self.vae_params, latents)
+
+    # ------------------------------------------------------------------
+    # The generic dual-stream sampling engine
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 6))
+    def _sample(self, mode: ModeSpec, img_init: jax.Array,
+                attr_groups_init: jax.Array, mask_latent: jax.Array,
+                ctx: jax.Array, num_steps: int, rng: jax.Array):
+        """Run the scan sampler.
+
+        img_init:       (B,h,w,4)  clean latent or noise (per mode)
+        attr_groups_init: (G,B,h,w,4) non-mask groups, clean or noise
+        mask_latent:    (B,h,w,4)  always-clean mask group
+        Returns (img_latent, attr_groups) final.
+        """
+        schedule = self.schedule
+        timesteps = inference_timesteps(
+            self.cfg.diffusion.num_train_timesteps, num_steps)
+        ts_next = jnp.concatenate([timesteps[1:], jnp.zeros((1,), jnp.int32)])
+        is_final = jnp.arange(num_steps) == num_steps - 1
+        b = img_init.shape[0]
+        g = attr_groups_init.shape[0]
+
+        img_state = UniPCState.init(img_init.shape, img_init.dtype)
+        attr_state = jax.vmap(
+            lambda _: UniPCState.init(img_init.shape, img_init.dtype)
+        )(jnp.arange(g))
+
+        denoise_attr = jnp.asarray(mode.denoise_attr)
+
+        def model_eval(img_lat, attr_groups, t):
+            tb = jnp.full((b,), t, jnp.int32)
+            t_img = tb if mode.denoise_img else jnp.zeros((b,), jnp.int32)
+            t_attr = tb if mode.any_attr else jnp.zeros((b,), jnp.int32)
+            # assemble 28ch: mask | groups (train/train.py:1307-1310)
+            attr_flat = jnp.concatenate(
+                [mask_latent] + [attr_groups[i] for i in range(g)], axis=-1)
+            img_pred, attr_pred = self.dual.apply(
+                self.dual_params, img_lat, attr_flat, t_img, t_attr, ctx,
+                run_decoder=mode.any_attr)
+            if attr_pred is None:
+                attr_pred_groups = attr_groups
+            else:
+                # drop the clean mask prediction (train/train.py:1356:
+                # mask_pred[:, 4:]) and split into groups
+                attr_pred_groups = jnp.stack(
+                    jnp.split(attr_pred[..., LATENT_CHANNELS:], g, axis=-1))
+            return img_pred, attr_pred_groups
+
+        def body(carry, scan_in):
+            img_lat, attr_groups, img_st, attr_st = carry
+            t, tn, fin = scan_in
+            img_pred, attr_pred_groups = model_eval(img_lat, attr_groups, t)
+
+            new_img_st, img_next = unipc_step(
+                schedule, img_st, img_lat, img_pred, t, tn, fin)
+            if not mode.denoise_img:
+                img_next = img_lat
+                new_img_st = img_st
+
+            if mode.any_attr:
+                new_attr_st, attr_next = jax.vmap(
+                    lambda st, x, m: unipc_step(schedule, st, x, m, t, tn,
+                                                fin)
+                )(attr_st, attr_groups, attr_pred_groups)
+                sel = denoise_attr.reshape((g,) + (1,) * (attr_next.ndim - 1))
+                attr_next = jnp.where(sel, attr_next, attr_groups)
+                attr_st = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        denoise_attr.reshape(
+                            (g,) + (1,) * (new.ndim - 1)) if new.ndim > 1
+                        else denoise_attr, new, old),
+                    new_attr_st, attr_st)
+            else:
+                attr_next = attr_groups
+            return (img_next, attr_next, new_img_st, attr_st), None
+
+        (img_lat, attr_groups, _, _), _ = jax.lax.scan(
+            body, (img_init, attr_groups_init, img_state, attr_state),
+            (timesteps, ts_next, is_final))
+        return img_lat, attr_groups
+
+    # ------------------------------------------------------------------
+    # Latent assembly helpers
+    # ------------------------------------------------------------------
+
+    def material_latent(self, metallic, roughness, shape) -> jax.Array:
+        """(B,h,w,4) = [m,m,r,r]*2-1 raw constant map
+        (reference pipeline.py:1536-1541)."""
+        b, h, w, _ = shape
+        m = jnp.broadcast_to(jnp.reshape(metallic, (-1, 1, 1, 1)),
+                             (b, h, w, 2))
+        r = jnp.broadcast_to(jnp.reshape(roughness, (-1, 1, 1, 1)),
+                             (b, h, w, 2))
+        return jnp.concatenate([m, r], axis=-1) * 2.0 - 1.0
+
+    @staticmethod
+    def material_from_latent(material_latent: jax.Array):
+        """Inverse of material_latent: means of the two halves, mapped back
+        to [0,1] (eval/test_real.py:557-564)."""
+        m = (material_latent[..., :2].mean(axis=-1) + 1.0) / 2.0
+        r = (material_latent[..., 2:].mean(axis=-1) + 1.0) / 2.0
+        return m, r
+
+    def _encode_maps(self, maps: Dict[str, jax.Array], rng: jax.Array
+                     ) -> Dict[str, jax.Array]:
+        """VAE-encode several (B,H,W,3) maps in ONE batched call (TPU-first:
+        one big conv batch instead of 7 sequential encodes,
+        cf. reference pipeline.py:1530-1556)."""
+        names = list(maps.keys())
+        stacked = jnp.concatenate([maps[n] for n in names], axis=0)
+        z = self.encode_images(stacked, rng)
+        parts = jnp.split(z, len(names), axis=0)
+        return dict(zip(names, parts))
+
+    def _noise(self, rng, shape):
+        return jax.random.normal(rng, shape, jnp.float32)
+
+    # ------------------------------------------------------------------
+    # Public API — production 28-channel family
+    # ------------------------------------------------------------------
+
+    def mask2image_3mod_albedo(
+        self, *, normal, albedo, spec_light, diff_light, env, mask,
+        metallic, roughness, rng, num_steps: Optional[int] = None,
+        latents_are_raw: bool = False,
+    ) -> jax.Array:
+        """Forward rendering: intrinsics -> RGB (pipeline.py:1368-1690).
+
+        Map args are (B,H,W,3) images in [-1,1] (or pre-encoded (B,h,w,4)
+        latents when `latents_are_raw`, the reference's `re_rendering` flag,
+        pipeline.py:1462-1474).  Returns decoded RGB in [-1,1].
+        """
+        num_steps = num_steps or self.cfg.sampler.num_steps
+        k_enc, k_noise = jax.random.split(rng)
+        if latents_are_raw:
+            lat = dict(normal=normal, albedo=albedo, spec_light=spec_light,
+                       diff_light=diff_light, env=env, mask=mask)
+        else:
+            lat = self._encode_maps(
+                dict(normal=normal, albedo=albedo, spec_light=spec_light,
+                     diff_light=diff_light, env=env, mask=mask), k_enc)
+        shape = lat["normal"].shape
+        material = self.material_latent(metallic, roughness, shape)
+        attr_groups = jnp.stack([
+            material, lat["normal"], lat["albedo"], lat["spec_light"],
+            lat["diff_light"], lat["env"]])
+        img0 = self._noise(k_noise, shape)
+        ctx = self.blank_context(shape[0])
+        img_lat, _ = self._sample(FORWARD_RENDER, img0, attr_groups,
+                                  lat["mask"], ctx, num_steps, rng)
+        return self.decode_latents(img_lat)
+
+    def mask2image_3mod_albedo_black(self, **kw) -> jax.Array:
+        """Black-background variant (pipeline.py:1700) — identical sampling;
+        callers supply black-composited condition maps."""
+        return self.mask2image_3mod_albedo(**kw)
+
+    def image2mask_3mod_albedo(
+        self, *, image, mask, rng, num_steps: Optional[int] = None,
+    ):
+        """Inverse rendering from a rendered image (pipeline.py:1990)."""
+        return self._inverse(image=image, mask=mask, rng=rng,
+                             num_steps=num_steps)
+
+    def real_image2mask_3mod_albedo(
+        self, *, image, mask, rng, num_steps: Optional[int] = None,
+        ensemble: Optional[int] = None,
+    ):
+        """Production inverse path for real photos (pipeline.py:2391-2808;
+        driver eval/test_real.py:539-564): image+mask latents clean at t=0,
+        six attribute groups denoised from noise; metallic/roughness read
+        from material-latent halves; ensemble-averaged over `ensemble` runs.
+
+        Returns dict with keys: normal, albedo, spec_light, diff_light, env
+        (decoded images), metallic, roughness (scalars-per-pixel maps),
+        material_latents.
+        """
+        ensemble = ensemble or self.cfg.sampler.ensemble
+        outs = []
+        for i in range(ensemble):
+            outs.append(self._inverse(
+                image=image, mask=mask,
+                rng=jax.random.fold_in(rng, i), num_steps=num_steps))
+        def mean_stack(name):
+            return sum(o[name] for o in outs) / len(outs)
+        return {k: mean_stack(k) for k in outs[0]}
+
+    def _inverse(self, *, image, mask, rng, num_steps=None):
+        num_steps = num_steps or self.cfg.sampler.num_steps
+        k_enc, k_noise = jax.random.split(rng)
+        lat = self._encode_maps(dict(image=image, mask=mask), k_enc)
+        shape = lat["image"].shape
+        g = self.n_groups
+        noise = self._noise(k_noise, (g,) + shape)
+        ctx = self.blank_context(shape[0])
+        _, attr_groups = self._sample(INVERSE_RENDER, lat["image"], noise,
+                                      lat["mask"], ctx, num_steps, rng)
+        material = attr_groups[0]
+        metallic, roughness = self.material_from_latent(material)
+        maskv = (mask[..., 0] + 1.0) / 2.0 if mask.shape[-1] == 3 else None
+        if maskv is not None:
+            # reference masks the material read-out (test_real.py:560-563)
+            mh = jax.image.resize(maskv, metallic.shape, "nearest")
+            metallic, roughness = metallic * mh, roughness * mh
+        decoded = jnp.split(
+            self.decode_latents(
+                jnp.concatenate([attr_groups[i] for i in range(1, g)],
+                                axis=0)), g - 1, axis=0)
+        return dict(
+            normal=decoded[0], albedo=decoded[1], spec_light=decoded[2],
+            diff_light=decoded[3], env=decoded[4],
+            metallic=metallic, roughness=roughness,
+            material_latents=material)
+
+    def joint_sample(self, *, batch: int, mask, rng,
+                     num_steps: Optional[int] = None):
+        """UniDiffuser-style joint generation: both streams from noise
+        (pipeline.py:3427; dual-schedule core pipeline_new_d4p.py:2576-2645).
+        """
+        num_steps = num_steps or self.cfg.sampler.num_steps
+        k_enc, k1, k2 = jax.random.split(rng, 3)
+        mask_lat = self.encode_images(mask, k_enc)
+        shape = mask_lat.shape
+        g = self.n_groups
+        img0 = self._noise(k1, shape)
+        attr0 = self._noise(k2, (g,) + shape)
+        ctx = self.blank_context(shape[0])
+        img_lat, attr_groups = self._sample(JOINT_SAMPLE, img0, attr0,
+                                            mask_lat, ctx, num_steps, rng)
+        return img_lat, attr_groups
+
+    # ------------------------------------------------------------------
+    # Legacy layouts (16-ch `rendering`/`inverse_rendering`/`mask2image`/
+    # `image2mask`; 12-ch `*_3mod`).  These correspond to the reference's
+    # superseded model generations (SURVEY C5/C7); they require a model
+    # built with the matching attr_channels.
+    # ------------------------------------------------------------------
+
+    def rendering(self, *, attr_latents, rng, num_steps=None):
+        """Legacy 16-ch forward rendering (pipeline.py:3684-3966).
+        `attr_latents` (G,B,h,w,4) with G = attr_channels/4 - 1."""
+        return self._legacy(attr_latents, FORWARD_RENDER, rng, num_steps)
+
+    def inverse_rendering(self, *, image, rng, num_steps=None):
+        """Legacy 16-ch inverse rendering (pipeline.py:3970-4290)."""
+        k_enc, k_noise = jax.random.split(rng)
+        img_lat = self.encode_images(image, k_enc)
+        g = self.n_groups
+        noise = self._noise(k_noise, (g,) + img_lat.shape)
+        mode = ModeSpec("legacy_inverse", False, (True,) * g)
+        ctx = self.blank_context(img_lat.shape[0])
+        _, attr = self._sample(mode, img_lat, noise,
+                               jnp.zeros_like(img_lat), ctx,
+                               num_steps or self.cfg.sampler.num_steps, rng)
+        return attr
+
+    def _legacy(self, attr_latents, mode, rng, num_steps):
+        shape = attr_latents.shape[1:]
+        img0 = self._noise(rng, shape)
+        ctx = self.blank_context(shape[0])
+        img_lat, _ = self._sample(
+            dataclasses.replace(mode,
+                                denoise_attr=(False,) * attr_latents.shape[0]),
+            img0, attr_latents, jnp.zeros(shape, jnp.float32), ctx,
+            num_steps or self.cfg.sampler.num_steps, rng)
+        return self.decode_latents(img_lat)
+
+    # aliases matching remaining reference method names
+    def mask2image(self, **kw):
+        return self.rendering(**kw)
+
+    def image2mask(self, **kw):
+        return self.inverse_rendering(**kw)
+
+    def mask2image_3mod(self, **kw):
+        return self.rendering(**kw)
+
+    def image2mask_3mod(self, **kw):
+        return self.inverse_rendering(**kw)

@@ -1,0 +1,135 @@
+"""The jitted dual-schedule train step (reference train/train.py:1234-1427).
+
+TPU-first design decisions vs the reference:
+  * All 8 VAE encodes (train/train.py:1266-1304) run as ONE batched conv
+    call over a (8B,H,W,3) stack — bigger MXU batches, one kernel launch.
+  * The cycle-consistency second pass (train/train.py:1388-1416) sits under
+    `lax.cond`, so only the taken branch executes at runtime while the whole
+    step remains one compiled program (SURVEY "hard parts" #4).
+  * bf16 compute / f32 params; no fp16 loss-scaler (not needed on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from unirenderer_tpu.core.config import LATENT_CHANNELS, SystemConfig
+from unirenderer_tpu.diffusion.schedule import DiffusionSchedule, compute_dual_t
+from unirenderer_tpu.train.losses import dual_stream_loss
+
+# Batch keys: (B,H,W,3) maps in [-1,1], exactly the 8 modalities VAE-encoded
+# by the reference step (train/train.py:1240-1304).
+BATCH_KEYS = ("image", "material", "mask", "env", "normal", "albedo",
+              "spec_light", "diff_light")
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: SystemConfig) -> optax.GradientTransformation:
+    t = cfg.train
+    opt = optax.chain(
+        optax.clip_by_global_norm(t.max_grad_norm),
+        optax.adamw(t.learning_rate, b1=t.adam_beta1, b2=t.adam_beta2,
+                    eps=t.adam_eps, weight_decay=t.adam_weight_decay),
+    )
+    if t.gradient_accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, t.gradient_accumulation_steps)
+    return opt
+
+
+def create_train_state(cfg: SystemConfig, params) -> TrainState:
+    opt = make_optimizer(cfg)
+    return TrainState(step=jnp.int32(0), params=params,
+                      opt_state=opt.init(params["params"]))
+
+
+def make_train_step(cfg: SystemConfig, dual, vae, schedule: DiffusionSchedule):
+    """Returns train_step(state, vae_params, ctx, batch, rng) -> (state, metrics).
+
+    `ctx` is the cached blank-prompt text context (1, 77, D) — the reference
+    re-runs CLIP on ' ' every step (train/train.py:1313-1321); we don't.
+    """
+    opt = make_optimizer(cfg)
+    scaling = cfg.vae.scaling_factor
+    n_train_t = cfg.diffusion.num_train_timesteps
+
+    def encode_batch(vae_params, batch, rng):
+        stacked = jnp.concatenate([batch[k] for k in BATCH_KEYS], axis=0)
+        mean, logvar = vae.apply(vae_params, stacked, method="encode")
+        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+            rng, mean.shape, mean.dtype)
+        z = z.astype(jnp.float32) * scaling
+        parts = jnp.split(z, len(BATCH_KEYS), axis=0)
+        return dict(zip(BATCH_KEYS, parts))
+
+    def loss_fn(params, vae_params, ctx, batch, rng):
+        b = batch["image"].shape[0]
+        keys = jax.random.split(rng, 7)
+        lat = encode_batch(vae_params, batch, keys[0])
+
+        # env perturbation (train/train.py:1286-1288)
+        lat["env"] = lat["env"] + cfg.diffusion.env_noise_aug * \
+            jax.random.normal(keys[1], lat["env"].shape)
+
+        t_img, t_attr, is_inv = compute_dual_t(keys[2], n_train_t, b)
+
+        latents_img = lat["image"]
+        noise_img = jax.random.normal(keys[3], latents_img.shape)
+        noisy_img = schedule.add_noise(latents_img, noise_img, t_img)
+
+        # 24-ch attr concat order: material|normal|albedo|spec|diff|env
+        # (train/train.py:1307)
+        attr24 = jnp.concatenate(
+            [lat["material"], lat["normal"], lat["albedo"],
+             lat["spec_light"], lat["diff_light"], lat["env"]], axis=-1)
+        noise_attr = jax.random.normal(keys[4], attr24.shape)
+        noisy_attr24 = schedule.add_noise(attr24, noise_attr, t_attr)
+        attr28 = jnp.concatenate([lat["mask"], noisy_attr24], axis=-1)
+
+        ctxb = jnp.broadcast_to(ctx, (b,) + ctx.shape[1:])
+        img_pred, attr_pred28 = dual.apply(
+            params, noisy_img, attr28, t_img, t_attr, ctxb,
+            deterministic=True)
+        attr_pred = attr_pred28[..., LATENT_CHANNELS:]   # drop mask group
+
+        # ---- cycle pass (inverse-rendering steps only) ----
+        def cycle(_):
+            t_img_c = jax.random.randint(keys[5], (b,), 0, n_train_t)
+            t_attr_c = jnp.zeros((b,), jnp.int32)
+            noise_c = jax.random.normal(keys[6], latents_img.shape)
+            noisy_img_c = schedule.add_noise(latents_img, noise_c, t_img_c)
+            attr28_c = jnp.concatenate([lat["mask"], attr_pred], axis=-1)
+            pred_c, _ = dual.apply(
+                params, noisy_img_c, attr28_c, t_img_c, t_attr_c, ctxb,
+                run_decoder=False, deterministic=True)
+            return pred_c
+
+        cycle_pred = jax.lax.cond(
+            is_inv, cycle, lambda _: jnp.zeros_like(img_pred), None)
+
+        return dual_stream_loss(img_pred, attr_pred, latents_img, attr24,
+                                cycle_pred, is_inv, cfg.train)
+
+    def train_step(state: TrainState, vae_params, ctx, batch, rng
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, vae_params, ctx, batch,
+                                      rng)
+        updates, opt_state = opt.update(grads["params"], state.opt_state,
+                                        state.params["params"])
+        params = {"params": optax.apply_updates(state.params["params"],
+                                                updates)}
+        metrics["grad_norm"] = optax.global_norm(grads["params"])
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return train_step
