@@ -263,6 +263,8 @@ def specular_cubemap(cube: jax.Array, roughness: float,
     the split-sum approximation).  Output resolution = input resolution.
     """
     six, r, _, c = cube.shape
+    chunk = min(chunk, num_samples)
+    num_samples = (num_samples // chunk) * chunk
     n_dirs = all_face_dirs(r)                         # (6,R,R,3) = N = V = R
     # tangent frame per texel
     up = jnp.where(jnp.abs(n_dirs[..., 2:3]) < 0.999,

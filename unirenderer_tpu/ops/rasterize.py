@@ -79,7 +79,10 @@ def rasterize(pos_clip: jax.Array, tri: jax.Array, height: int, width: int,
     inv_w = 1.0 / w_safe                                # (V,1)
     ndc = pos_clip[:, :3] * inv_w                       # (V,3)
     sx = (ndc[:, 0] * 0.5 + 0.5) * width                # pixel coords
-    sy = (0.5 - ndc[:, 1] * 0.5) * height               # y flip
+    # y-DOWN screen convention: clip +y maps to increasing row index.  The
+    # reference's projection matrix already negates y (render_utils.py:188),
+    # so world +y lands at row 0 (image top) — same as its nvdiffrast usage.
+    sy = (ndc[:, 1] * 0.5 + 0.5) * height
     sz = ndc[:, 2]
     behind = (pos_clip[:, 3] <= 1e-9)
 

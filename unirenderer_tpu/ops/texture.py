@@ -81,8 +81,9 @@ def _integrate_fg(n_dot_v: jax.Array, roughness: jax.Array,
         n_dot_l = jnp.maximum(l[..., 2], 0.0)
         n_dot_h = jnp.maximum(h[..., 2], 0.0)
         v_dot_h = jnp.maximum(jnp.sum(v * h, -1), 0.0)
-        # Smith G (Schlick-GGX, IBL k) — Karis eq.
-        k = a * a / 2.0
+        # Smith G (Schlick-GGX) with the IBL k = alpha/2 (Karis 2013),
+        # alpha = roughness^2
+        k = a / 2.0
         g1 = lambda c: c / (c * (1 - k) + k + 1e-8)
         g = g1(n_dot_l) * g1(jnp.maximum(n_dot_v, 1e-4))
         g_vis = jnp.where(n_dot_l > 0,
