@@ -27,6 +27,13 @@ def setup():
     return cfg, dual, dual_params, vae, vae_params, schedule
 
 
+def _fresh(params):
+    # buffer donation in a sharded step can consume the donated buffers;
+    # each test gets its own copy of the module-scoped params
+    import jax.numpy as jnp
+    return jax.tree.map(jnp.copy, params)
+
+
 def _batch(cfg, b):
     hw = cfg.vae.sample_size
     k = jax.random.key(3)
@@ -52,7 +59,7 @@ def test_eight_device_dp_step(setup, eight_devices):
     cfg, dual, dual_params, vae, vae_params, schedule = setup
     m = pmesh.make_mesh(8)
     step_fn = make_train_step(cfg, dual, vae, schedule)
-    state = create_train_state(cfg, dual_params)
+    state = create_train_state(cfg, _fresh(dual_params))
     sharded = pmesh.make_sharded_train_step(step_fn, m)
 
     state = pmesh.replicate(state, m)
@@ -76,13 +83,13 @@ def test_dp_matches_single_device(setup, eight_devices):
     batch = _batch(cfg, 8)
     rng = jax.random.key(9)
 
-    s_single = create_train_state(cfg, dual_params)
+    s_single = create_train_state(cfg, _fresh(dual_params))
     s_single, m_single = jax.jit(step_fn)(s_single, vae_params, ctx, batch,
                                           rng)
 
     m8 = pmesh.make_mesh(8)
     sharded = pmesh.make_sharded_train_step(step_fn, m8)
-    s_dp = pmesh.replicate(create_train_state(cfg, dual_params), m8)
+    s_dp = pmesh.replicate(create_train_state(cfg, _fresh(dual_params)), m8)
     s_dp, m_dp = sharded(s_dp, pmesh.replicate(vae_params, m8),
                          pmesh.replicate(ctx, m8),
                          pmesh.shard_batch(batch, m8), rng)

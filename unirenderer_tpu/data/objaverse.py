@@ -1,0 +1,229 @@
+"""Objaverse-style dataset + on-device render collate.
+
+Reference: dataset/objaverse.py (ObjaverseData :92, ObjaverseData_test :304)
+yields mesh path + camera + env mipmaps + (metallic, roughness); the GPU
+render happens inside collate_fn (train/train.py:184-439).  Here the host
+side stays numpy (mesh select/pad, pose/material sampling, env selection)
+and ONE jitted vmapped render produces the 9 buffers for the whole batch.
+
+Robustness matches the reference: a missing/corrupt mesh resamples another
+index (dataset/objaverse.py:284-286).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unirenderer_tpu.core.config import DataConfig
+from unirenderer_tpu.ops import texture as tex
+from unirenderer_tpu.render import camera as cam
+from unirenderer_tpu.render.light import EnvLight
+from unirenderer_tpu.render.mesh import Mesh
+from unirenderer_tpu.render.render import composite_background, render_mesh
+
+
+def material_grid(n: int = 11) -> List[Tuple[float, float]]:
+    """The reference's 11x11 (metallic, roughness) grid
+    (dataset/objaverse.py:133-134)."""
+    vals = np.linspace(0.0, 1.0, n)
+    return [(float(m), float(r)) for m in vals for r in vals]
+
+
+def load_mesh_npz(path: str) -> Dict[str, np.ndarray]:
+    """Load a preprocessed mesh (.npz from tools/obj2mesh; the reference's
+    .pth equivalent, obj2mesh.py:54-66)."""
+    with np.load(path, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def pad_mesh(m: Dict[str, np.ndarray], v_pad: int, t_pad: int
+             ) -> Dict[str, np.ndarray]:
+    """Pad to static (v_pad, t_pad) sizes; padding triangles are degenerate
+    (all-zero index) so the rasterizer ignores them."""
+    out = dict(m)
+    v = m["v_pos"].shape[0]
+    t = m["t_idx"].shape[0]
+    if v > v_pad or t > t_pad:
+        raise ValueError(f"mesh exceeds pad sizes: V={v}>{v_pad} or "
+                         f"T={t}>{t_pad}")
+    for k in ("v_pos", "v_nrm", "v_tex", "v_tng"):
+        if k in out:
+            pad = np.zeros((v_pad - v,) + out[k].shape[1:], out[k].dtype)
+            out[k] = np.concatenate([out[k], pad])
+    out["t_idx"] = np.concatenate(
+        [m["t_idx"], np.zeros((t_pad - t, 3), np.int32)])
+    return out
+
+
+class ObjaverseData:
+    """Train dataset (reference dataset/objaverse.py:92-301).
+
+    Items: preprocessed mesh (.npz) + random env (prefiltered npz dir) +
+    (metallic, roughness) from the 11x11 grid + camera pose.  The reference
+    train split PINS the camera at az=0/elev=90 (objaverse.py:207-208);
+    `random_camera` makes that a choice (SURVEY 'reference bugs').
+    """
+
+    def __init__(self, cfg: DataConfig, mesh_paths: Sequence[str],
+                 env_dirs: Sequence[str], seed: int = 0,
+                 v_pad: int = 65536, t_pad: int = 131072,
+                 test_mode: bool = False):
+        self.cfg = cfg
+        self.mesh_paths = list(mesh_paths)
+        self.env_dirs = list(env_dirs)
+        self.rng = random.Random(seed)
+        self.grid = material_grid(cfg.material_grid)
+        self.v_pad, self.t_pad = v_pad, t_pad
+        self.test_mode = test_mode
+        self._env_cache: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def __len__(self):
+        return len(self.mesh_paths)
+
+    def _load_env(self, d: str) -> Dict[str, np.ndarray]:
+        if d not in self._env_cache:
+            files = {}
+            i = 0
+            while os.path.exists(os.path.join(d, f"specular_{i}.npy")):
+                files[f"specular_{i}"] = np.load(
+                    os.path.join(d, f"specular_{i}.npy"))
+                i += 1
+            files["diffuse"] = np.load(os.path.join(d, "diffuse.npy"))
+            if i == 0:
+                raise FileNotFoundError(f"no specular mips in {d}")
+            self._env_cache[d] = files
+        return self._env_cache[d]
+
+    def __getitem__(self, idx: int) -> Dict:
+        for _attempt in range(64):
+            try:
+                return self._get(idx)
+            except (FileNotFoundError, ValueError, OSError):
+                # resample like the reference (objaverse.py:284-286)
+                idx = self.rng.randrange(len(self.mesh_paths))
+        raise RuntimeError("too many unreadable samples")
+
+    def _get(self, idx: int) -> Dict:
+        mesh = pad_mesh(load_mesh_npz(self.mesh_paths[idx]),
+                        self.v_pad, self.t_pad)
+        env_dir = self.rng.choice(self.env_dirs)
+        env = self._load_env(env_dir)
+        metallic, roughness = self.rng.choice(self.grid)
+        if self.cfg.random_camera or self.test_mode:
+            az = self.rng.uniform(0, 360)
+            el = self.rng.uniform(30, 150)
+        else:
+            az, el = 0.0, 90.0                      # reference train pin
+        return dict(mesh=mesh, env=env, metallic=metallic,
+                    roughness=roughness, azimuth=az, elevation=el,
+                    distance=self.cfg.camera_distance)
+
+
+class ObjaverseDataTest(ObjaverseData):
+    """Test split: random cameras (reference ObjaverseData_test :304,
+    random pose :419-420)."""
+
+    def __init__(self, *a, **kw):
+        kw["test_mode"] = True
+        super().__init__(*a, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Collate: batch -> 9 rendered buffers on device
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _render_batch(resolution: int, v_pos, t_idx, v_nrm, v_tng, mvps,
+                  camposes, spec_mips, diffuse, metallics, roughnesses,
+                  kds, fg_lut):
+    """vmapped render over the batch; all leading dims = B."""
+    def one(v, t, n, tg, mvp, cp, spec, diff, met, rgh, kd):
+        env = EnvLight(specular=tuple(spec), diffuse=diff)
+        mesh = Mesh(v_pos=v, t_pos_idx=t, v_nrm=n, t_nrm_idx=t,
+                    v_tng=tg, t_tng_idx=t)
+        return render_mesh(mesh, mvp, cp, env, met, rgh, resolution,
+                           kd_const=kd, fg_lut=fg_lut)
+
+    return jax.vmap(one)(v_pos, t_idx, v_nrm, v_tng, mvps, camposes,
+                         spec_mips, diffuse, metallics, roughnesses, kds)
+
+
+def collate_render(items: List[Dict], resolution: int = 512,
+                   bg: float = 1.0) -> Dict[str, jnp.ndarray]:
+    """The train/train.py:184-439 collate_fn equivalent: renders the batch
+    and assembles the 8 training maps (in [-1,1]) + material scalars.
+
+    Returns the BATCH_KEYS dict for train_step plus 'metallic'/'roughness'.
+    Env maps for the 'env' conditioning image use the coarsest specular mip
+    expanded to a latlong image (the reference feeds the env image itself).
+    """
+    from unirenderer_tpu.ops.cubemap import cubemap_to_latlong
+
+    b = len(items)
+    stack = lambda key: jnp.asarray(
+        np.stack([np.asarray(i["mesh"][key]) for i in items]))
+    v_pos, t_idx = stack("v_pos"), stack("t_idx")
+    v_nrm, v_tng = stack("v_nrm"), stack("v_tng")
+
+    mvps, camposes = [], []
+    for i in items:
+        mvp, cp = cam.spherical_camera(i["azimuth"], i["elevation"],
+                                       i["distance"])
+        mvps.append(mvp)
+        camposes.append(cp)
+    mvps = jnp.stack(mvps)
+    camposes = jnp.stack(camposes)
+
+    n_mips = len([k for k in items[0]["env"] if k.startswith("specular")])
+    spec_mips = [jnp.asarray(np.stack(
+        [i["env"][f"specular_{l}"] for i in items])) for l in range(n_mips)]
+    diffuse = jnp.asarray(np.stack([i["env"]["diffuse"] for i in items]))
+    metallics = jnp.asarray([i["metallic"] for i in items], jnp.float32)
+    roughnesses = jnp.asarray([i["roughness"] for i in items], jnp.float32)
+    kds = jnp.asarray(np.stack(
+        [i["mesh"].get("kd", np.array([0.8, 0.8, 0.8], np.float32))
+         for i in items]))
+    fg = jnp.asarray(tex.fg_lut()[0])
+
+    bufs = _render_batch(resolution, v_pos, t_idx, v_nrm, v_tng, mvps,
+                         camposes, spec_mips, diffuse, metallics,
+                         roughnesses, kds, fg)
+
+    def to_train(x4):                      # composite + [-1,1]
+        rgb = composite_background(x4, bg)
+        return rgb * 2.0 - 1.0
+
+    mask = bufs["mask"]
+    mask3 = jnp.repeat(mask, 3, axis=-1)
+    # material image: [metallic, metallic, roughness] masked, in [-1,1]
+    # (reference process_material_and_mask, train/train.py:102-131)
+    met_img = metallics[:, None, None, None] * mask
+    rgh_img = roughnesses[:, None, None, None] * mask
+    material = jnp.concatenate([met_img, met_img, rgh_img], -1) * 2 - 1
+
+    env_img = jax.vmap(lambda c: cubemap_to_latlong(c, (resolution,
+                                                        resolution)))(
+        diffuse)
+    env_img = jnp.clip(env_img, 0.0, 1.0) * 2 - 1
+
+    return {
+        "image": to_train(bufs["shaded"]),
+        "mask": mask3 * 2 - 1,
+        "material": material,
+        "normal": bufs["gb_normal"][..., :3] * mask,   # already [-1,1]
+        "albedo": to_train(bufs["albedo"]),
+        "spec_light": to_train(bufs["spec_light"]),
+        "diff_light": to_train(bufs["diff_light"]),
+        "env": env_img,
+        "metallic": metallics,
+        "roughness": roughnesses,
+    }
