@@ -1,0 +1,53 @@
+"""Trainer loop + checkpoint/rotation/resume tests (SURVEY aux
+'Checkpoint / resume'; reference train/train.py:1191-1218, 1434-1457)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unirenderer_tpu.core import config
+from unirenderer_tpu.core.checkpoint import CheckpointManager
+from unirenderer_tpu.train.trainer import Trainer, synthetic_batches
+
+
+def small_cfg():
+    cfg = config.tiny()
+    import dataclasses
+    return dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, checkpoint_every=2,
+                                       checkpoints_total_limit=2))
+
+
+def test_checkpoint_manager_rotation(tmp_path):
+    cm = CheckpointManager(str(tmp_path), total_limit=2)
+    tree = {"a": np.arange(4.0), "b": {"c": np.ones((2, 2))}}
+    for s in (2, 4, 6):
+        cm.save(s, tree)
+    cm.wait()
+    assert cm.all_steps() == [4, 6]
+    restored = cm.restore(template=tree)
+    np.testing.assert_allclose(restored["a"], tree["a"])
+
+
+def test_trainer_smoke_and_resume(tmp_path):
+    cfg = small_cfg()
+    workdir = str(tmp_path / "run")
+    tr = Trainer(cfg, workdir, n_devices=1, dtype=jnp.float32)
+    it = synthetic_batches(cfg, batch=2)
+    state = tr.train(it, max_steps=4)
+    assert int(jax.device_get(state.step)) == 4
+    tr.ckpt.wait()
+    assert tr.ckpt.latest_step() == 4
+    assert os.path.exists(os.path.join(workdir, "metrics.jsonl"))
+
+    # resume: a fresh trainer picks up at step 4
+    tr2 = Trainer(cfg, workdir, n_devices=1, dtype=jnp.float32)
+    start = tr2.maybe_resume()
+    assert start == 4
+    s4 = jax.tree_util.tree_leaves(tr2.state.params)[0]
+    s4_orig = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_allclose(np.asarray(s4), np.asarray(s4_orig),
+                               atol=1e-6)

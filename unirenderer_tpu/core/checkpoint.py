@@ -1,0 +1,69 @@
+"""Checkpoint management — reference HF-Accelerate save_state with
+rotation + 'latest' resume (train/train.py:1000-1045, 1191-1218,
+1434-1457; SURVEY aux 'Checkpoint / resume'), rebuilt on orbax.
+
+Layout mirrors the reference's three-component diffusers dirs:
+    <dir>/checkpoint-<step>/{unet,controlnet,controldec}  (model params)
+plus optimizer state and the step counter; rotation keeps
+`checkpoints_total_limit` newest.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, total_limit: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.total_limit = total_limit
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # -- paths ----------------------------------------------------------
+    def _step_dir(self, step: int) -> str:
+        return os.path.join(self.directory, f"checkpoint-{step}")
+
+    def all_steps(self):
+        steps = []
+        for d in os.listdir(self.directory):
+            m = re.fullmatch(r"checkpoint-(\d+)", d)
+            if m:
+                steps.append(int(m.group(1)))
+        return sorted(steps)
+
+    def latest_step(self) -> Optional[int]:
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    # -- save / restore -------------------------------------------------
+    def save(self, step: int, state: Any) -> None:
+        path = self._step_dir(step)
+        self._ckptr.save(os.path.join(path, "state"), state, force=True)
+        self._rotate()
+
+    def restore(self, step: Optional[int] = None,
+                template: Any = None) -> Any:
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return None
+        path = os.path.join(self._step_dir(step), "state")
+        return self._ckptr.restore(path, template)
+
+    def _rotate(self) -> None:
+        """Keep only the newest `total_limit` checkpoints
+        (reference --checkpoints_total_limit, train/train.py:1434-1457)."""
+        steps = self.all_steps()
+        while len(steps) > self.total_limit:
+            victim = steps.pop(0)
+            import shutil
+            shutil.rmtree(self._step_dir(victim), ignore_errors=True)
+
+    def wait(self):
+        self._ckptr.wait_until_finished()

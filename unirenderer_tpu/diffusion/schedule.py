@@ -27,10 +27,10 @@ class DiffusionSchedule:
         n = cfg.num_train_timesteps
         if cfg.beta_schedule == "scaled_linear":
             betas = jnp.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5,
-                                 n, dtype=jnp.float64) ** 2
+                                 n, dtype=jnp.float32) ** 2
         elif cfg.beta_schedule == "linear":
             betas = jnp.linspace(cfg.beta_start, cfg.beta_end, n,
-                                 dtype=jnp.float64)
+                                 dtype=jnp.float32)
         else:
             raise ValueError(cfg.beta_schedule)
         acp = jnp.cumprod(1.0 - betas)
