@@ -27,7 +27,9 @@ def maybe_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array
         return None
     b, s, h, d = q.shape
     sk = k.shape[1]
-    if s % 128 != 0 or sk % 128 != 0 or d % 64 != 0:
+    # kernel pads head_dim internally; seq lengths must tile by 128
+    # (the 64^2-latent self-attention: 4096/1024/256 qualify, 64 falls back)
+    if s % 128 != 0 or sk % 128 != 0:
         return None
     try:
         from unirenderer_tpu.ops._flash_kernel import flash_attention
