@@ -216,6 +216,19 @@ def flagship() -> SystemConfig:
     return SystemConfig()
 
 
+def legacy16() -> SystemConfig:
+    """Legacy 4-attribute 16-ch layout (reference `rendering`/
+    `inverse_rendering`/`mask2image`/`image2mask`, pipeline.py:3684,976:
+    metallic | roughness | normal | light) — SURVEY C5/C7 model family."""
+    return SystemConfig(unet=UNetConfig(attr_channels=16))
+
+
+def legacy12() -> SystemConfig:
+    """Legacy 3-attribute 12-ch layout (reference `*_3mod` methods,
+    pipeline.py:1246: material | normal | light)."""
+    return SystemConfig(unet=UNetConfig(attr_channels=12))
+
+
 def tiny(latent_size: int = 8) -> SystemConfig:
     """A minute system for tests: same topology, toy widths."""
     return SystemConfig(

@@ -58,10 +58,16 @@ from unirenderer_tpu.models.vae import AutoencoderKL, init_vae
 
 @dataclasses.dataclass(frozen=True)
 class ModeSpec:
-    """Static description of one sampling mode (hashable -> jit static arg)."""
+    """Static description of one sampling mode (hashable -> jit static arg).
+
+    `has_clean_head`: the production 28-ch layout leads with an always-clean
+    mask group (train/train.py:1310); legacy 16/12-ch layouts have no such
+    head — every group is a plain attribute (pipeline.py:976,1246).
+    """
     name: str
     denoise_img: bool
-    denoise_attr: Tuple[bool, ...]      # per attr group AFTER the mask group
+    denoise_attr: Tuple[bool, ...]      # per attr group AFTER the clean head
+    has_clean_head: bool = True
 
     @property
     def any_attr(self) -> bool:
@@ -142,15 +148,22 @@ class UniRendererPipeline:
     # The generic dual-stream sampling engine
     # ------------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0, 1, 6))
+    @functools.partial(jax.jit, static_argnums=(0, 1, 6, 7))
     def _sample(self, mode: ModeSpec, img_init: jax.Array,
                 attr_groups_init: jax.Array, mask_latent: jax.Array,
-                ctx: jax.Array, num_steps: int, rng: jax.Array):
+                ctx: jax.Array, num_steps: int,
+                guidance_scale: float = 0.0,
+                neg_ctx: Optional[jax.Array] = None,
+                rng: Optional[jax.Array] = None):
         """Run the scan sampler.
 
         img_init:       (B,h,w,4)  clean latent or noise (per mode)
         attr_groups_init: (G,B,h,w,4) non-mask groups, clean or noise
         mask_latent:    (B,h,w,4)  always-clean mask group
+        guidance_scale: classifier-free guidance weight; > 1 enables the
+            two-pass batch with (cond, uncond) chunk order matching
+            pipeline.py:2699 (the production recipe runs 0 —
+            eval/test_real.py:547-554).
         Returns (img_latent, attr_groups) final.
         """
         schedule = self.schedule
@@ -168,23 +181,42 @@ class UniRendererPipeline:
 
         denoise_attr = jnp.asarray(mode.denoise_attr)
 
+        use_cfg = guidance_scale > 1.0
+        ctx_full = (jnp.concatenate(
+            [ctx, neg_ctx if neg_ctx is not None else ctx])
+            if use_cfg else ctx)
+
         def model_eval(img_lat, attr_groups, t):
-            tb = jnp.full((b,), t, jnp.int32)
-            t_img = tb if mode.denoise_img else jnp.zeros((b,), jnp.int32)
-            t_attr = tb if mode.any_attr else jnp.zeros((b,), jnp.int32)
-            # assemble 28ch: mask | groups (train/train.py:1307-1310)
+            nb = 2 * b if use_cfg else b
+            tb = jnp.full((nb,), t, jnp.int32)
+            t_img = tb if mode.denoise_img else jnp.zeros((nb,), jnp.int32)
+            t_attr = tb if mode.any_attr else jnp.zeros((nb,), jnp.int32)
+            # assemble: [mask |] groups (train/train.py:1307-1310)
+            head = [mask_latent] if mode.has_clean_head else []
             attr_flat = jnp.concatenate(
-                [mask_latent] + [attr_groups[i] for i in range(g)], axis=-1)
+                head + [attr_groups[i] for i in range(g)], axis=-1)
+            img_in = img_lat
+            if use_cfg:        # (cond, uncond) chunks, pipeline.py:2699
+                img_in = jnp.concatenate([img_lat, img_lat])
+                attr_flat = jnp.concatenate([attr_flat, attr_flat])
             img_pred, attr_pred = self.dual.apply(
-                self.dual_params, img_lat, attr_flat, t_img, t_attr, ctx,
-                run_decoder=mode.any_attr)
+                self.dual_params, img_in, attr_flat, t_img, t_attr,
+                ctx_full, run_decoder=mode.any_attr)
+            if use_cfg:
+                c, u = jnp.split(img_pred, 2, axis=0)
+                img_pred = u + guidance_scale * (c - u)
+                if attr_pred is not None:
+                    ca, ua = jnp.split(attr_pred, 2, axis=0)
+                    attr_pred = ua + guidance_scale * (ca - ua)
             if attr_pred is None:
                 attr_pred_groups = attr_groups
             else:
                 # drop the clean mask prediction (train/train.py:1356:
                 # mask_pred[:, 4:]) and split into groups
+                if mode.has_clean_head:
+                    attr_pred = attr_pred[..., LATENT_CHANNELS:]
                 attr_pred_groups = jnp.stack(
-                    jnp.split(attr_pred[..., LATENT_CHANNELS:], g, axis=-1))
+                    jnp.split(attr_pred, g, axis=-1))
             return img_pred, attr_pred_groups
 
         def body(carry, scan_in):
@@ -288,7 +320,7 @@ class UniRendererPipeline:
         img0 = self._noise(k_noise, shape)
         ctx = self.blank_context(shape[0])
         img_lat, _ = self._sample(FORWARD_RENDER, img0, attr_groups,
-                                  lat["mask"], ctx, num_steps, rng)
+                                  lat["mask"], ctx, num_steps)
         return self.decode_latents(img_lat)
 
     def mask2image_3mod_albedo_black(self, **kw) -> jax.Array:
@@ -335,7 +367,7 @@ class UniRendererPipeline:
         noise = self._noise(k_noise, (g,) + shape)
         ctx = self.blank_context(shape[0])
         _, attr_groups = self._sample(INVERSE_RENDER, lat["image"], noise,
-                                      lat["mask"], ctx, num_steps, rng)
+                                      lat["mask"], ctx, num_steps)
         material = attr_groups[0]
         metallic, roughness = self.material_from_latent(material)
         maskv = (mask[..., 0] + 1.0) / 2.0 if mask.shape[-1] == 3 else None
@@ -367,7 +399,7 @@ class UniRendererPipeline:
         attr0 = self._noise(k2, (g,) + shape)
         ctx = self.blank_context(shape[0])
         img_lat, attr_groups = self._sample(JOINT_SAMPLE, img0, attr0,
-                                            mask_lat, ctx, num_steps, rng)
+                                            mask_lat, ctx, num_steps)
         return img_lat, attr_groups
 
     # ------------------------------------------------------------------
@@ -379,31 +411,38 @@ class UniRendererPipeline:
 
     def rendering(self, *, attr_latents, rng, num_steps=None):
         """Legacy 16-ch forward rendering (pipeline.py:3684-3966).
-        `attr_latents` (G,B,h,w,4) with G = attr_channels/4 - 1."""
-        return self._legacy(attr_latents, FORWARD_RENDER, rng, num_steps)
+        `attr_latents` (G,B,h,w,4) with G = attr_channels/4 (no mask
+        head in the legacy layouts)."""
+        return self._legacy(attr_latents, rng, num_steps)
 
     def inverse_rendering(self, *, image, rng, num_steps=None):
-        """Legacy 16-ch inverse rendering (pipeline.py:3970-4290)."""
+        """Legacy 16-ch inverse rendering (pipeline.py:3970-4290): every
+        attribute group denoised from noise."""
         k_enc, k_noise = jax.random.split(rng)
         img_lat = self.encode_images(image, k_enc)
-        g = self.n_groups
+        g = self.cfg.unet.attr_channels // LATENT_CHANNELS
         noise = self._noise(k_noise, (g,) + img_lat.shape)
-        mode = ModeSpec("legacy_inverse", False, (True,) * g)
+        mode = ModeSpec("legacy_inverse", False, (True,) * g,
+                        has_clean_head=False)
         ctx = self.blank_context(img_lat.shape[0])
         _, attr = self._sample(mode, img_lat, noise,
                                jnp.zeros_like(img_lat), ctx,
-                               num_steps or self.cfg.sampler.num_steps, rng)
+                               num_steps or self.cfg.sampler.num_steps)
         return attr
 
-    def _legacy(self, attr_latents, mode, rng, num_steps):
+    def _legacy(self, attr_latents, rng, num_steps):
+        g = attr_latents.shape[0]
+        assert g * LATENT_CHANNELS == self.cfg.unet.attr_channels, (
+            "legacy methods need a model built with the matching "
+            "attr_channels (core.config.legacy16 / legacy12)")
         shape = attr_latents.shape[1:]
+        mode = ModeSpec("legacy_forward", True, (False,) * g,
+                        has_clean_head=False)
         img0 = self._noise(rng, shape)
         ctx = self.blank_context(shape[0])
         img_lat, _ = self._sample(
-            dataclasses.replace(mode,
-                                denoise_attr=(False,) * attr_latents.shape[0]),
-            img0, attr_latents, jnp.zeros(shape, jnp.float32), ctx,
-            num_steps or self.cfg.sampler.num_steps, rng)
+            mode, img0, attr_latents, jnp.zeros(shape, jnp.float32), ctx,
+            num_steps or self.cfg.sampler.num_steps)
         return self.decode_latents(img_lat)
 
     # aliases matching remaining reference method names

@@ -19,6 +19,7 @@ import numpy as np
 
 from unirenderer_tpu.core.checkpoint import CheckpointManager
 from unirenderer_tpu.core.config import SystemConfig
+from unirenderer_tpu.core.debug import AnomalyGuard
 from unirenderer_tpu.core.tracing import MetricLogger, PhaseTimer
 from unirenderer_tpu.diffusion.schedule import DiffusionSchedule
 from unirenderer_tpu.models.clip_text import blank_ids, init_text_encoder
@@ -67,6 +68,7 @@ class Trainer:
             cfg.train.checkpoints_total_limit)
         self.logger = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
         self.timer = PhaseTimer()
+        self.guard = AnomalyGuard()
 
     # ------------------------------------------------------------------
     def maybe_resume(self) -> int:
@@ -102,6 +104,7 @@ class Trainer:
             step += 1
             if step % 10 == 0 or step == start + 1:
                 self.logger.log(step, metrics)
+                self.guard.check(metrics, step)
             if step % cfg.checkpoint_every == 0:
                 with self.timer.phase("checkpoint"):
                     self.ckpt.save(step,
