@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Training CLI — the reference's `bash train/train.sh` ->
+`accelerate launch train/train.py` entry (SURVEY C8), as one flag-light
+command over the typed config (no accelerate YAML topology matrix: the
+mesh is discovered from jax.devices()).
+
+Usage:
+  # real data (preprocessed by tools/obj2mesh.py + tools/light2map.py):
+  python tools/train.py --workdir runs/exp1 --mesh-dir data/meshes \
+      --env-dir data/envs [--steps N] [--batch-per-device 2] [--fsdp]
+
+  # synthetic smoke (no data needed):
+  python tools/train.py --workdir runs/smoke --synthetic --tiny --steps 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--mesh-dir")
+    ap.add_argument("--env-dir")
+    ap.add_argument("--steps", type=int)
+    ap.add_argument("--batch-per-device", type=int)
+    ap.add_argument("--lr", type=float)
+    ap.add_argument("--fsdp", action="store_true")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--random-camera", action="store_true")
+    ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--sd-unet", help="diffusers UNet state_dict (.bin)")
+    ap.add_argument("--sd-vae", help="diffusers VAE state_dict (.bin)")
+    ap.add_argument("--sd-text", help="CLIP text state_dict (.bin)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from unirenderer_tpu.core import config
+    from unirenderer_tpu.train.trainer import Trainer, synthetic_batches
+
+    cfg = config.tiny() if args.tiny else config.flagship()
+    tr_over = {}
+    if args.batch_per_device:
+        tr_over["batch_size_per_device"] = args.batch_per_device
+    if args.lr:
+        tr_over["learning_rate"] = args.lr
+    if tr_over:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **tr_over))
+    if args.random_camera:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, random_camera=True))
+
+    trainer = Trainer(cfg, args.workdir, fsdp=args.fsdp,
+                      dtype=jnp.float32 if args.tiny else jnp.bfloat16)
+
+    # optional SD weight port (reference from_pretrained + surgery path)
+    if args.sd_unet:
+        from unirenderer_tpu.models import surgery
+        unet_sd = surgery.load_torch_state_dict(args.sd_unet)
+        vae_sd = surgery.load_torch_state_dict(args.sd_vae)
+        text_sd = surgery.load_torch_state_dict(args.sd_text)
+        dual_p, vae_p, text_p = surgery.port_sd_checkpoint(
+            unet_sd, vae_sd, text_sd, cfg)
+        from unirenderer_tpu.parallel import mesh as pmesh
+        from unirenderer_tpu.train.train_step import create_train_state
+        trainer.state = pmesh.replicate(
+            create_train_state(cfg, dual_p), trainer.mesh)
+        trainer.vae_params_r = pmesh.replicate(vae_p, trainer.mesh)
+
+    n_dev = len(jax.devices())
+    global_batch = cfg.train.batch_size_per_device * n_dev
+
+    if args.synthetic:
+        batches = synthetic_batches(cfg, global_batch)
+    else:
+        from unirenderer_tpu.data.objaverse import (
+            ObjaverseData, collate_render,
+        )
+        meshes = sorted(glob.glob(os.path.join(args.mesh_dir, "*.npz")))
+        envs = sorted(d for d in glob.glob(os.path.join(args.env_dir, "*"))
+                      if os.path.isdir(d))
+        assert meshes and envs, "no preprocessed meshes/envs found"
+        ds = ObjaverseData(cfg.data, meshes, envs)
+
+        def batch_iter():
+            i = 0
+            while True:
+                items = [ds[(i + j) % len(ds)] for j in range(global_batch)]
+                i += global_batch
+                yield collate_render(items, resolution=args.resolution)
+
+        batches = batch_iter()
+
+    state = trainer.train(batches, max_steps=args.steps)
+    print(f"finished at step {int(jax.device_get(state.step))}; "
+          f"checkpoints in {args.workdir}/checkpoints")
+
+
+if __name__ == "__main__":
+    main()
