@@ -2,29 +2,32 @@
 (reference SURVEY N7: `dr.rasterize` via DepthPeeler at
 src/utils/render.py:310-313, `dr.interpolate` at :217-234).
 
-Design: brute-force tiled rasterization formulated as matmuls.
+Design: tiled, bbox-culled rasterization formulated as matmuls.
 
-  Edge-function evaluation for a tile of P pixels against a chunk of C
-  triangles is ONE (P,3) x (3,3C) matmul -> MXU work, not scalar loops.
-  The pipeline is: outer `lax.scan` over static pixel tiles, inner
-  `lax.scan` over triangle chunks, carrying the per-pixel nearest hit
-  (z-buffer).  All shapes static; meshes are padded to a chunk multiple
-  with degenerate triangles.
+  * The image is cut into static 2D tiles (~128x128 px).  Per tile, an
+    inner `lax.scan` walks triangle chunks; edge-function evaluation for
+    the tile's P pixels against a chunk of C triangles is ONE
+    (P,3) x (3,3C) matmul -> MXU work, not scalar loops.
+  * Chunk-level bbox culling: each chunk's screen bounding box is
+    precomputed; `lax.cond` skips the whole tile x chunk block when they
+    don't overlap — the TPU-friendly version of binned rasterization
+    (real branch, not predication), plus a per-triangle overlap mask
+    inside surviving chunks.
+  * All shapes static; meshes are padded to a chunk multiple with
+    degenerate triangles that never rasterize.
 
 Output follows nvdiffrast's rast buffer convention: (u, v, z_ndc, id+1)
-with perspective-correct barycentrics and id 0 = background, so the
-downstream interpolation/shading code matches the reference semantics.
-The reference uses a single depth layer (num_layers=1, train/train.py:193),
-i.e. plain z-buffering — depth peeling beyond layer 1 is implemented by
-re-rasterizing with a z > prev_z constraint.
+with perspective-correct barycentrics and id 0 = background.  Screen
+convention is y-DOWN (clip +y -> increasing row); the reference's
+projection matrix already negates y (render_utils.py:188), so world +y
+lands at image top exactly as its nvdiffrast usage.
+
+The reference uses a single depth layer (num_layers=1, train/train.py:193);
+further peel layers re-rasterize with a z > prev_z constraint.
 
 Anti-aliasing: nvdiffrast's analytic `dr.antialias` has no TPU analogue;
-we provide optional 2x supersampling (render at 2R, average-pool) — a
-documented deviation (SURVEY 'hard parts' (1)).
-
-A Pallas kernel version of the inner loop (keeping the tile in VMEM across
-all triangle chunks) lives in ops/_raster_kernel.py and is used on TPU for
-large meshes.
+`ssaa_downsample` provides 2x supersampling instead — a documented
+deviation (SURVEY 'hard parts' (1)).
 """
 
 from __future__ import annotations
@@ -53,6 +56,15 @@ def _pad_tris(tri: jax.Array, chunk: int) -> jax.Array:
     return tri
 
 
+def _tile_size(n: int, target: int = 128) -> int:
+    """Largest divisor of n that is <= target."""
+    best = 1
+    for d in range(1, n + 1):
+        if n % d == 0 and d <= target:
+            best = d
+    return best
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def rasterize(pos_clip: jax.Array, tri: jax.Array, height: int, width: int,
               chunk: int = 256,
@@ -62,13 +74,7 @@ def rasterize(pos_clip: jax.Array, tri: jax.Array, height: int, width: int,
     pos_clip: (V, 4) clip-space positions (x,y,z,w) — output of
               `xfm_points(v_pos, mvp)` (reference render.py:306).
     tri:      (T, 3) int32 vertex indices.
-    prev_z:   optional (H, W) previous-layer depth for peeling; only hits
-              with z > prev_z + eps are kept (reference DepthPeeler
-              rasterize_next_layer).
-
-    Clip convention: OpenGL-style, viewport maps x/w,y/w in [-1,1] to
-    pixels; pixel centers at (i+0.5).  y is flipped so row 0 = top
-    (nvdiffrast image layout).
+    prev_z:   optional (H, W) previous-layer depth for peeling.
     """
     tri = _pad_tris(tri, chunk)
     n_chunks = tri.shape[0] // chunk
@@ -79,106 +85,153 @@ def rasterize(pos_clip: jax.Array, tri: jax.Array, height: int, width: int,
     inv_w = 1.0 / w_safe                                # (V,1)
     ndc = pos_clip[:, :3] * inv_w                       # (V,3)
     sx = (ndc[:, 0] * 0.5 + 0.5) * width                # pixel coords
-    # y-DOWN screen convention: clip +y maps to increasing row index.  The
-    # reference's projection matrix already negates y (render_utils.py:188),
-    # so world +y lands at row 0 (image top) — same as its nvdiffrast usage.
-    sy = (ndc[:, 1] * 0.5 + 0.5) * height
+    sy = (ndc[:, 1] * 0.5 + 0.5) * height               # y-down screen
     sz = ndc[:, 2]
     behind = (pos_clip[:, 3] <= 1e-9)
 
-    # gather per-triangle data: (Tc, 3) each
-    def tri_data(t):
-        i0, i1, i2 = t[:, 0], t[:, 1], t[:, 2]
-        return (jnp.stack([sx[i0], sx[i1], sx[i2]], 1),
-                jnp.stack([sy[i0], sy[i1], sy[i2]], 1),
-                jnp.stack([sz[i0], sz[i1], sz[i2]], 1),
-                jnp.stack([inv_w[i0, 0], inv_w[i1, 0], inv_w[i2, 0]], 1),
-                behind[i0] | behind[i1] | behind[i2],
-                (i0 == i1) | (i1 == i2) | (i0 == i2))
+    i0, i1, i2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    tx = jnp.stack([sx[i0], sx[i1], sx[i2]], 1)         # (T,3)
+    ty = jnp.stack([sy[i0], sy[i1], sy[i2]], 1)
+    tz = jnp.stack([sz[i0], sz[i1], sz[i2]], 1)
+    tw = jnp.stack([inv_w[i0, 0], inv_w[i1, 0], inv_w[i2, 0]], 1)
+    bad = (behind[i0] | behind[i1] | behind[i2]
+           | (i0 == i1) | (i1 == i2) | (i0 == i2))
 
-    # pixel-center coordinates
-    py, px = jnp.meshgrid(jnp.arange(height) + 0.5,
-                          jnp.arange(width) + 0.5, indexing="ij")
-    pix = jnp.stack([px.reshape(-1), py.reshape(-1),
-                     jnp.ones(height * width)], axis=1)      # (P,3)
+    # per-triangle screen bbox (empty for bad tris)
+    bxmin = jnp.where(bad, jnp.inf, tx.min(1))
+    bxmax = jnp.where(bad, -jnp.inf, tx.max(1))
+    bymin = jnp.where(bad, jnp.inf, ty.min(1))
+    bymax = jnp.where(bad, -jnp.inf, ty.max(1))
+    # chunk-level bboxes (n_chunks,)
+    cxmin = bxmin.reshape(n_chunks, chunk).min(1)
+    cxmax = bxmax.reshape(n_chunks, chunk).max(1)
+    cymin = bymin.reshape(n_chunks, chunk).min(1)
+    cymax = bymax.reshape(n_chunks, chunk).max(1)
 
-    BIG = jnp.float32(1e30)
-    p = height * width
-    init = (jnp.full((p,), BIG), jnp.zeros((p,), jnp.int32),
-            jnp.zeros((p,)), jnp.zeros((p,)))
-    prev_z_flat = (None if prev_z is None
-                   else prev_z.reshape(-1))
+    # edge coefficients per triangle: E_k(p) = a*px + b*py + c
+    x0, x1, x2 = tx[:, 0], tx[:, 1], tx[:, 2]
+    y0, y1, y2 = ty[:, 0], ty[:, 1], ty[:, 2]
 
-    def chunk_body(carry, chunk_idx):
-        best_z, best_id, best_u, best_v = carry
-        t = jax.lax.dynamic_slice_in_dim(tri, chunk_idx * chunk, chunk, 0)
-        tx, ty, tz, tw, bad_w, degen = tri_data(t)
+    def edge(ax, ay, bx, by):
+        return ay - by, bx - ax, ax * by - ay * bx
 
-        # Edge matrix: for each triangle, 3 edge functions + area.
-        # E_k(p) = a*px + b*py + c ; edges (v1,v2),(v2,v0),(v0,v1)
-        x0, x1, x2 = tx[:, 0], tx[:, 1], tx[:, 2]
-        y0, y1, y2 = ty[:, 0], ty[:, 1], ty[:, 2]
-
-        def edge(ax, ay, bx, by):
-            # signed area form: a = ay-by, b = bx-ax, c = ax*by-ay*bx
-            return ay - by, bx - ax, ax * by - ay * bx
-
-        a0, b0, c0 = edge(x1, y1, x2, y2)   # opposite v0
-        a1, b1, c1 = edge(x2, y2, x0, y0)   # opposite v1
-        a2, b2, c2 = edge(x0, y0, x1, y1)   # opposite v2
-        area = a2 * x2 + b2 * y2 + c2       # 2*signed area
-
-        # (P,3) @ (3, 3C) -> (P, 3C): all edge functions at all pixels
-        em = jnp.stack([jnp.concatenate([a0, a1, a2]),
+    a0, b0, c0 = edge(x1, y1, x2, y2)   # opposite v0
+    a1, b1, c1 = edge(x2, y2, x0, y0)   # opposite v1
+    a2, b2, c2 = edge(x0, y0, x1, y1)   # opposite v2
+    area = a2 * x2 + b2 * y2 + c2       # 2*signed area
+    # edge matrix rows [a;b;c], columns grouped e0|e1|e2 (3, 3T)
+    em_all = jnp.stack([jnp.concatenate([a0, a1, a2]),
                         jnp.concatenate([b0, b1, b2]),
                         jnp.concatenate([c0, c1, c2])], axis=0)
-        ev = pix @ em                                      # (P, 3C)
-        e0, e1, e2 = ev[:, :chunk], ev[:, chunk:2 * chunk], ev[:, 2 * chunk:]
+    em_chunks = em_all.reshape(3, 3, n_chunks, chunk)   # [row, edge, ch, c]
 
-        area_safe = jnp.where(jnp.abs(area) < 1e-12, 1.0, area)
-        inside = (((e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (area > 0))
-                  | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0) & (area < 0)))
-        valid = inside & ~(bad_w | degen)[None, :] \
-            & (jnp.abs(area) > 1e-12)[None, :]
+    th = _tile_size(height)
+    tw_ = _tile_size(width)
+    n_ty, n_tx = height // th, width // tw_
+    tile_px = th * tw_
+    BIG = jnp.float32(1e30)
 
-        # screen barycentrics
-        su = e0 / area_safe[None, :]
-        sv = e1 / area_safe[None, :]
-        sw = 1.0 - su - sv
-        # perspective correction
-        iw0, iw1, iw2 = tw[:, 0], tw[:, 1], tw[:, 2]
-        denom = su * iw0[None] + sv * iw1[None] + sw * iw2[None]
-        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-        pu = su * iw0[None] / denom
-        pv = sv * iw1[None] / denom
-        pw = 1.0 - pu - pv
-        zhit = (pu * tz[:, 0][None] + pv * tz[:, 1][None]
-                + pw * tz[:, 2][None])
+    prev_z_t = (None if prev_z is None else
+                prev_z.reshape(n_ty, th, n_tx, tw_)
+                .transpose(0, 2, 1, 3).reshape(n_ty * n_tx, tile_px))
 
-        zcand = jnp.where(valid, zhit, BIG)
-        if prev_z_flat is not None:
-            zcand = jnp.where(zcand > prev_z_flat[:, None] + 1e-6,
-                              zcand, BIG)
-        k = jnp.argmin(zcand, axis=1)                      # (P,)
-        rows = jnp.arange(p)
-        zk = zcand[rows, k]
-        better = zk < best_z
-        tri_index = chunk_idx * chunk + k
-        best_id = jnp.where(better, tri_index.astype(jnp.int32) + 1, best_id)
-        best_u = jnp.where(better, pu[rows, k], best_u)
-        best_v = jnp.where(better, pv[rows, k], best_v)
-        best_z = jnp.where(better, zk, best_z)
-        return (best_z, best_id, best_u, best_v), None
+    ty_local = jnp.repeat(jnp.arange(th, dtype=jnp.float32), tw_)
+    tx_local = jnp.tile(jnp.arange(tw_, dtype=jnp.float32), th)
 
-    (bz, bid, bu, bv), _ = jax.lax.scan(chunk_body, init,
-                                        jnp.arange(n_chunks))
+    def tile_fn(tile_idx, pz_tile):
+        tyi = tile_idx // n_tx
+        txi = tile_idx % n_tx
+        px = tx_local + txi * tw_ + 0.5
+        py = ty_local + tyi * th + 0.5
+        pix = jnp.stack([px, py, jnp.ones_like(px)], axis=1)  # (P,3)
+        tile_x0 = txi * tw_
+        tile_y0 = tyi * th
+
+        init = (jnp.full((tile_px,), BIG),
+                jnp.zeros((tile_px,), jnp.int32),
+                jnp.zeros((tile_px,)), jnp.zeros((tile_px,)))
+
+        def heavy(carry, ci):
+            best_z, best_id, best_u, best_v = carry
+            em = em_chunks[:, :, ci].reshape(3, 3 * chunk)
+            ev = pix @ em                                  # (P, 3C)
+            e0 = ev[:, :chunk]
+            e1 = ev[:, chunk:2 * chunk]
+            e2 = ev[:, 2 * chunk:]
+            ar = jax.lax.dynamic_slice_in_dim(area, ci * chunk, chunk)
+            bd = jax.lax.dynamic_slice_in_dim(bad, ci * chunk, chunk)
+            zc = jax.lax.dynamic_slice_in_dim(tz, ci * chunk, chunk)
+            wc = jax.lax.dynamic_slice_in_dim(tw, ci * chunk, chunk)
+            # per-tri tile overlap
+            oxmin = jax.lax.dynamic_slice_in_dim(bxmin, ci * chunk, chunk)
+            oxmax = jax.lax.dynamic_slice_in_dim(bxmax, ci * chunk, chunk)
+            oymin = jax.lax.dynamic_slice_in_dim(bymin, ci * chunk, chunk)
+            oymax = jax.lax.dynamic_slice_in_dim(bymax, ci * chunk, chunk)
+            overlap = ((oxmin < tile_x0 + tw_) & (oxmax > tile_x0)
+                       & (oymin < tile_y0 + th) & (oymax > tile_y0))
+
+            area_safe = jnp.where(jnp.abs(ar) < 1e-12, 1.0, ar)
+            inside = (((e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (ar > 0))
+                      | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0) & (ar < 0)))
+            valid = inside & (~bd & overlap
+                              & (jnp.abs(ar) > 1e-12))[None, :]
+
+            su = e0 / area_safe[None, :]
+            sv = e1 / area_safe[None, :]
+            sw = 1.0 - su - sv
+            denom = (su * wc[:, 0][None] + sv * wc[:, 1][None]
+                     + sw * wc[:, 2][None])
+            denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+            pu = su * wc[:, 0][None] / denom
+            pv = sv * wc[:, 1][None] / denom
+            pw = 1.0 - pu - pv
+            zhit = (pu * zc[:, 0][None] + pv * zc[:, 1][None]
+                    + pw * zc[:, 2][None])
+
+            zcand = jnp.where(valid, zhit, BIG)
+            if pz_tile is not None:
+                zcand = jnp.where(zcand > pz_tile[:, None] + 1e-6,
+                                  zcand, BIG)
+            k = jnp.argmin(zcand, axis=1)
+            rows = jnp.arange(tile_px)
+            zk = zcand[rows, k]
+            better = zk < best_z
+            tri_index = ci * chunk + k
+            best_id = jnp.where(better, tri_index.astype(jnp.int32) + 1,
+                                best_id)
+            best_u = jnp.where(better, pu[rows, k], best_u)
+            best_v = jnp.where(better, pv[rows, k], best_v)
+            best_z = jnp.where(better, zk, best_z)
+            return (best_z, best_id, best_u, best_v)
+
+        def chunk_body(carry, ci):
+            # chunk-level cull: skip the block when bboxes don't intersect
+            hit = ((cxmin[ci] < tile_x0 + tw_) & (cxmax[ci] > tile_x0)
+                   & (cymin[ci] < tile_y0 + th) & (cymax[ci] > tile_y0))
+            carry = jax.lax.cond(hit, lambda c: heavy(c, ci),
+                                 lambda c: c, carry)
+            return carry, None
+
+        out, _ = jax.lax.scan(chunk_body, init, jnp.arange(n_chunks))
+        return out
+
+    if prev_z_t is None:
+        bz, bid, bu, bv = jax.lax.map(
+            lambda i: tile_fn(i, None), jnp.arange(n_ty * n_tx))
+    else:
+        bz, bid, bu, bv = jax.lax.map(
+            lambda args: tile_fn(args[0], args[1]),
+            (jnp.arange(n_ty * n_tx), prev_z_t))
+
+    def untile(x):
+        return (x.reshape(n_ty, n_tx, th, tw_)
+                .transpose(0, 2, 1, 3).reshape(height, width))
+
+    bid = untile(bid)
     miss = bid == 0
-    bz = jnp.where(miss, 0.0, bz)
-    return RastOutput(
-        bary_u=bu.reshape(height, width),
-        bary_v=bv.reshape(height, width),
-        z=bz.reshape(height, width),
-        tri_id=bid.reshape(height, width))
+    bz = jnp.where(miss, 0.0, untile(bz))
+    return RastOutput(bary_u=untile(bu), bary_v=untile(bv), z=bz,
+                      tri_id=bid)
 
 
 def interpolate(attr: jax.Array, rast: RastOutput,
