@@ -1,20 +1,29 @@
 """Benchmark harness — prints ONE JSON line.
 
-Measures 512^2 dual-stream sampling throughput on the local TPU chip:
-the production forward-rendering path (attribute encoder + UNet per step,
-reference pipeline.py:1586-1653) as one jitted 20-step lax.scan, plus the
-VAE decode — i.e. images/sec/chip end-to-end for `mask2image_3mod_albedo`.
+Measures 512^2 dual-stream forward-rendering sampling on the local TPU
+chip: attribute-encoder + UNet per step (reference pipeline.py:1586-1653)
+as one jitted 20-step lax.scan, plus the 6-map VAE encode and final VAE
+decode — end-to-end images/sec/chip for `mask2image_3mod_albedo`.
 
 vs_baseline: ratio against the A800 reference estimate.  The reference
-publishes no numbers (BASELINE.md); the A800 estimate below is derived from
-the reference recipe (20 UniPC steps of controlnet+unet at 512^2, fp16
-~1.37x UNet cost/step + VAE decode) on A800 ~= 1.0 images/sec.  The driver
-target is >= 2x that (BASELINE.json north star).
+publishes no numbers (BASELINE.md); the estimate below assumes the
+reference recipe (20 UniPC steps of controlnet+unet at 512^2 fp16 +
+7 VAE encodes + 1 decode) sustains ~1.0 images/sec on one A800 — derived
+from typical SD-UNet A800 step rates (~15 it/s at 512^2, x1.45 for the
+encoder pass).  The driver north star is >= 2x that (BASELINE.json).
+
+Implementation notes:
+  * Params are materialised structure-only (utils/fast_init.py) — a real
+    init through the TPU tunnel costs ~8 min and benchmarks nothing.
+  * Weight VALUES don't change dense-compute timing; zeros are used.
+  * A persistent XLA compilation cache keeps re-runs warm.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import time
 
 A800_IMAGES_PER_SEC_ESTIMATE = 1.0
@@ -24,32 +33,78 @@ BATCH = 4
 
 def main():
     import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from unirenderer_tpu.core import config
+    from unirenderer_tpu.models.dual_stream import DualStreamModel
+    from unirenderer_tpu.models.vae import AutoencoderKL
     from unirenderer_tpu.pipelines import UniRendererPipeline
+    from unirenderer_tpu.models.clip_text import CLIPTextEncoder, blank_ids
+    from unirenderer_tpu.utils.fast_init import shape_init
 
-    cfg = config.flagship()
-    pipe = UniRendererPipeline.create(cfg, jax.random.key(0))
+    base = config.flagship()
+    cfg = dataclasses.replace(
+        base,
+        unet=dataclasses.replace(
+            base.unet,
+            use_flash_attention=os.environ.get("BENCH_FLASH", "0") == "1",
+            remat=False))
 
-    s = cfg.vae.sample_size
+    dual = DualStreamModel(cfg.unet, jnp.bfloat16)
+    vae = AutoencoderKL(cfg.vae, jnp.bfloat16)
+    text = CLIPTextEncoder(cfg.text, jnp.bfloat16)
+
+    s = cfg.unet.sample_size
+    img = jnp.zeros((1, s, s, 4))
+    attr = jnp.zeros((1, s, s, cfg.unet.attr_channels))
+    tt = jnp.zeros((1,), jnp.int32)
+    ctx0 = jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim))
+
+    t0 = time.time()
+    dual_params = shape_init(
+        lambda: dual.init(jax.random.key(0), img, attr, tt, tt, ctx0),
+        fill="zeros")
+    vae_params = shape_init(
+        lambda: vae.init(jax.random.key(0),
+                         jnp.zeros((1, cfg.vae.sample_size,
+                                    cfg.vae.sample_size, 3)),
+                         jax.random.key(1)), fill="zeros")
+    text_params = shape_init(
+        lambda: text.init(jax.random.key(0), blank_ids(cfg.text)),
+        fill="zeros")
+    jax.block_until_ready(dual_params)
+    init_s = time.time() - t0
+
+    pipe = UniRendererPipeline(cfg, dual, dual_params, vae, vae_params,
+                               text, text_params)
+
+    hw = cfg.vae.sample_size
     b = BATCH
     rng = jax.random.key(1)
-    maps = {k: jnp.zeros((b, s, s, 3), jnp.float32)
-            for k in ("normal", "albedo", "spec_light", "diff_light", "env",
-                      "mask")}
+    maps = {k: jnp.zeros((b, hw, hw, 3), jnp.float32)
+            for k in ("normal", "albedo", "spec_light", "diff_light",
+                      "env", "mask")}
     metallic = jnp.full((b,), 0.5)
     roughness = jnp.full((b,), 0.5)
 
     def run(r):
-        out = pipe.mask2image_3mod_albedo(
+        return pipe.mask2image_3mod_albedo(
             **maps, metallic=metallic, roughness=roughness, rng=r,
             num_steps=NUM_STEPS)
-        return out
 
-    # compile
+    t0 = time.time()
     out = run(rng)
     jax.block_until_ready(out)
+    compile_s = time.time() - t0
 
     iters = 3
     t0 = time.perf_counter()
@@ -69,6 +124,8 @@ def main():
             "batch": b, "steps": NUM_STEPS,
             "sec_per_batch": round(dt, 4),
             "sec_per_denoise_step": round(dt / NUM_STEPS, 5),
+            "init_s": round(init_s, 1),
+            "compile_s": round(compile_s, 1),
         },
     }))
 
