@@ -148,13 +148,25 @@ class UniRendererPipeline:
     # The generic dual-stream sampling engine
     # ------------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0, 1, 6, 7))
     def _sample(self, mode: ModeSpec, img_init: jax.Array,
                 attr_groups_init: jax.Array, mask_latent: jax.Array,
                 ctx: jax.Array, num_steps: int,
                 guidance_scale: float = 0.0,
-                neg_ctx: Optional[jax.Array] = None,
-                rng: Optional[jax.Array] = None):
+                neg_ctx: Optional[jax.Array] = None):
+        """Dispatch to the jitted core with params passed as ARGUMENTS —
+        closing over them would bake ~7GB of weights into the HLO as
+        constants (measured: >30min compiles)."""
+        return self._sample_core(
+            self.dual_params, mode, img_init, attr_groups_init,
+            mask_latent, ctx, num_steps, guidance_scale, neg_ctx)
+
+    @functools.partial(jax.jit, static_argnums=(0, 2, 7, 8))
+    def _sample_core(self, dual_params, mode: ModeSpec,
+                     img_init: jax.Array,
+                     attr_groups_init: jax.Array, mask_latent: jax.Array,
+                     ctx: jax.Array, num_steps: int,
+                     guidance_scale: float = 0.0,
+                     neg_ctx: Optional[jax.Array] = None):
         """Run the scan sampler.
 
         img_init:       (B,h,w,4)  clean latent or noise (per mode)
@@ -200,7 +212,7 @@ class UniRendererPipeline:
                 img_in = jnp.concatenate([img_lat, img_lat])
                 attr_flat = jnp.concatenate([attr_flat, attr_flat])
             img_pred, attr_pred = self.dual.apply(
-                self.dual_params, img_in, attr_flat, t_img, t_attr,
+                dual_params, img_in, attr_flat, t_img, t_attr,
                 ctx_full, run_decoder=mode.any_attr)
             if use_cfg:
                 c, u = jnp.split(img_pred, 2, axis=0)
