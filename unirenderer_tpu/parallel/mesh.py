@@ -19,6 +19,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (the reference's `accelerate launch` rdzv role,
+    accelerate_configs/*.yaml).  On TPU pods the args auto-detect; no-op
+    for single-process runs."""
+    import jax
+
+    if num_processes is None and coordinator is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return                      # single-process environment
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def host_local_batch_slice(global_batch: int) -> slice:
+    """Each host loads only its shard of the global batch (per-host data
+    loading — SURVEY 2.5 'jax.distributed.initialize + per-host data')."""
+    import jax
+
+    per = global_batch // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = "data") -> Mesh:
     """1-D data-parallel mesh over the first n devices (default: all)."""
