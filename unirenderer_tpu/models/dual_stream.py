@@ -299,6 +299,28 @@ class DualStreamModel(nn.Module):
                            run_decoder=False, deterministic=deterministic)
         return img_pred
 
+    # --- split entry points for loop-invariant hoisting --------------
+    # In forward-rendering sampling the encoder's inputs (clean attribute
+    # latents, t_attr = 0) never change across denoise steps; the reference
+    # re-runs it all 20 steps (pipeline.py:1611-1618).  These methods let
+    # the sampler compute the encoder residuals ONCE outside the lax.scan.
+
+    def encode_attr(self, attr_latent, t_attr, ctx,
+                    conditioning_scale: float = 1.0,
+                    deterministic: bool = True):
+        ctrl_down, ctrl_mid, _, _ = self.encoder(
+            attr_latent, t_attr, ctx.astype(self.dtype),
+            conditioning_scale, deterministic)
+        return ctrl_down, ctrl_mid
+
+    def image_stream_with_residuals(self, img_latent, t_img, ctx,
+                                    ctrl_down, ctrl_mid,
+                                    deterministic: bool = True):
+        img_pred, _, _, _ = self.unet(
+            img_latent, t_img, ctx.astype(self.dtype), ctrl_down, ctrl_mid,
+            deterministic)
+        return img_pred
+
 
 def init_dual_stream(cfg: UNetConfig, rng: jax.Array, batch: int = 1,
                      ctx_len: int = 77, dtype=jnp.bfloat16):
