@@ -28,7 +28,7 @@ import time
 
 A800_IMAGES_PER_SEC_ESTIMATE = 1.0
 NUM_STEPS = 20
-BATCH = 4
+BATCH = 8
 
 
 def main():
@@ -89,10 +89,14 @@ def main():
 
     hw = cfg.vae.sample_size
     b = BATCH
-    rng = jax.random.key(1)
-    maps = {k: jnp.zeros((b, hw, hw, 3), jnp.float32)
-            for k in ("normal", "albedo", "spec_light", "diff_light",
-                      "env", "mask")}
+    # time-salted inputs: the execution relay caches identical
+    # (program, input) pairs, which would fake the timing
+    salt = int(time.time() * 1000) % (2 ** 31)
+    rng = jax.random.key(salt)
+    mk = jax.random.split(jax.random.key(salt + 1), 6)
+    maps = {k: 0.1 * jax.random.normal(mk[i], (b, hw, hw, 3))
+            for i, k in enumerate(("normal", "albedo", "spec_light",
+                                   "diff_light", "env", "mask"))}
     metallic = jnp.full((b,), 0.5)
     roughness = jnp.full((b,), 0.5)
 
