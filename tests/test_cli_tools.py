@@ -1,0 +1,98 @@
+"""CLI tool smoke tests: obj2mesh, light2map, remove_bg, run_inverse
+(SURVEY C12, C14, C15, C16)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+OBJ_TEXT = """
+v 0 -1 -1
+v 0 1 -1
+v 0 1 1
+v 0 -1 1
+vn 1 0 0
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+f 1/1/1 2/2/1 3/3/1 4/4/1
+"""
+
+
+def test_obj2mesh_cli(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "quad.obj").write_text(OBJ_TEXT)
+    dst = tmp_path / "dst"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "obj2mesh.py"),
+         "--src", str(src), "--dst", str(dst), "--workers", "1"],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    out = list(dst.glob("*.npz"))
+    assert len(out) == 1
+    z = np.load(out[0])
+    assert z["v_pos"].shape[1] == 3 and z["t_idx"].shape == (2, 3)
+
+
+def test_light2map_cli(tmp_path):
+    src = tmp_path / "hdrs"
+    src.mkdir()
+    from unirenderer_tpu.data.hdr import write_hdr
+    img = np.full((16, 32, 3), 0.5, np.float32)
+    write_hdr(str(src / "env0.hdr"), img)
+    dst = tmp_path / "envs"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "light2map.py"),
+         "--src", str(src), "--dst", str(dst), "--res", "16",
+         "--min-res", "4", "--samples", "16"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "UNIRENDER_PLATFORM": "cpu"})
+    assert r.returncode == 0, r.stderr
+    env_dir = dst / "env0"
+    assert (env_dir / "specular_0.npy").exists()
+    assert (env_dir / "diffuse.npy").exists()
+    diff = np.load(env_dir / "diffuse.npy")
+    np.testing.assert_allclose(diff, 0.5, rtol=0.05)
+
+
+def test_remove_bg_single(tmp_path):
+    from PIL import Image
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[2:6, 2:6] = 200
+    Image.fromarray(img).save(tmp_path / "img.png")
+    mask = np.zeros((8, 8), np.uint8)
+    mask[2:6, 2:6] = 255
+    Image.fromarray(mask).save(tmp_path / "mask.png")
+    out = tmp_path / "out.png"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "remove_bg.py"),
+         "--image", str(tmp_path / "img.png"),
+         "--mask", str(tmp_path / "mask.png"), "--out", str(out)],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stderr
+    res = np.asarray(Image.open(out))
+    assert res[0, 0, 0] == 255          # background white
+    assert abs(int(res[4, 4, 0]) - 200) <= 1
+
+
+def test_run_inverse_cli_tiny(tmp_path):
+    from PIL import Image
+    img = (np.random.default_rng(0).uniform(0, 255, (16, 16, 3))
+           .astype(np.uint8))
+    Image.fromarray(img).save(tmp_path / "in.png")
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "unirenderer_tpu.eval.run_inverse",
+         "--image", str(tmp_path / "in.png"), "--out", str(out),
+         "--tiny", "--steps", "2", "--ensemble", "1"],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+        env={**os.environ, "UNIRENDER_PLATFORM": "cpu"})
+    assert r.returncode == 0, r.stderr
+    for name in ("normal", "albedo", "metallic"):
+        assert (out / name / "0.png").exists()

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--samples", type=int, default=256)
     args = ap.parse_args()
 
+    import jax
+    if os.environ.get("UNIRENDER_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["UNIRENDER_PLATFORM"])
     import jax.numpy as jnp
 
     from unirenderer_tpu.data.hdr import read_hdr

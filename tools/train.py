@@ -43,6 +43,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+    if os.environ.get("UNIRENDER_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["UNIRENDER_PLATFORM"])
     import jax.numpy as jnp
 
     from unirenderer_tpu.core import config

@@ -58,6 +58,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+    if os.environ.get("UNIRENDER_PLATFORM"):
+        # the axon sitecustomize force-registers the TPU platform; honor an
+        # explicit override (used by CPU-only test runs)
+        jax.config.update("jax_platforms", os.environ["UNIRENDER_PLATFORM"])
     import jax.numpy as jnp
 
     from unirenderer_tpu.core import config

@@ -179,6 +179,10 @@ class UniRendererPipeline:
         Returns (img_latent, attr_groups) final.
         """
         schedule = self.schedule
+        # sampler math runs in f32 regardless of model/VAE compute dtype
+        img_init = img_init.astype(jnp.float32)
+        attr_groups_init = attr_groups_init.astype(jnp.float32)
+        mask_latent = mask_latent.astype(jnp.float32)
         timesteps = inference_timesteps(
             self.cfg.diffusion.num_train_timesteps, num_steps)
         ts_next = jnp.concatenate([timesteps[1:], jnp.zeros((1,), jnp.int32)])
