@@ -28,7 +28,7 @@ import time
 
 A800_IMAGES_PER_SEC_ESTIMATE = 1.0
 NUM_STEPS = 20
-BATCH = 4
+BATCH = 8
 
 
 def main():
@@ -70,17 +70,26 @@ def main():
     ctx0 = jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim))
 
     t0 = time.time()
-    dual_params = shape_init(
+
+    def bf16(tree):
+        # serving keeps weights in bf16: halves HBM footprint AND the
+        # per-step weight-read bandwidth (weights are re-read every
+        # denoise step)
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, tree)
+
+    dual_params = bf16(shape_init(
         lambda: dual.init(jax.random.key(0), img, attr, tt, tt, ctx0),
-        fill="zeros")
-    vae_params = shape_init(
+        fill="scaled_normal"))
+    vae_params = bf16(shape_init(
         lambda: vae.init(jax.random.key(0),
                          jnp.zeros((1, cfg.vae.sample_size,
                                     cfg.vae.sample_size, 3)),
-                         jax.random.key(1)), fill="zeros")
-    text_params = shape_init(
+                         jax.random.key(1)), fill="scaled_normal"))
+    text_params = bf16(shape_init(
         lambda: text.init(jax.random.key(0), blank_ids(cfg.text)),
-        fill="zeros")
+        fill="scaled_normal"))
     jax.block_until_ready(dual_params)
     init_s = time.time() - t0
 
