@@ -107,6 +107,12 @@ class Upsample(nn.Module):
                        name="conv")(x)
 
 
+# above this many score elements per head-batch, slice the query axis so
+# the materialised (S_q_chunk, S_k) f32 score block stays ~1GB — the TPU
+# analogue of the reference's attention slicing (controlnet.py:1588-1651)
+_SLICE_SCORE_ELEMS = 2 ** 28
+
+
 def dmajor_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Attention with the head_dim in the SUBLANE position of the matmuls.
 
@@ -117,15 +123,30 @@ def dmajor_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     Measured on v5e (B4,H8,S4096,D40, chained-in-scan): 6.0ms vs 41.9ms
     for jax.nn.dot_product_attention and 14ms for a padded flash kernel.
     """
-    d = q.shape[-1]
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
     scale = 1.0 / math.sqrt(d)
     qt = q.transpose(0, 2, 3, 1)          # (B,H,D,S)
     kt = k.transpose(0, 2, 3, 1)
     vt = v.transpose(0, 2, 3, 1)
-    s = jnp.einsum("bhds,bhdt->bhst", qt, kt,
-                   preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhdt,bhst->bhds", vt, p)
+
+    def attend(q_chunk):                  # (B,H,D,Sc) -> (B,H,D,Sc)
+        s = jnp.einsum("bhds,bhdt->bhst", q_chunk, kt,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(q_chunk.dtype)
+        return jnp.einsum("bhdt,bhst->bhds", vt, p)
+
+    n_slices = 1
+    while (b * h * (sq // n_slices) * sk > _SLICE_SCORE_ELEMS
+           and sq % (n_slices * 2) == 0):
+        n_slices *= 2
+    if n_slices > 1:
+        qs = qt.reshape(b, h, d, n_slices, sq // n_slices)
+        qs = jnp.moveaxis(qs, 3, 0)       # (n,B,H,D,Sc)
+        out = jax.lax.map(attend, qs)
+        out = jnp.moveaxis(out, 0, 3).reshape(b, h, d, sq)
+    else:
+        out = attend(qt)
     return out.transpose(0, 3, 1, 2)
 
 
