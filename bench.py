@@ -28,7 +28,7 @@ import time
 
 A800_IMAGES_PER_SEC_ESTIMATE = 1.0
 NUM_STEPS = 20
-BATCH = 8
+BATCH = 16
 
 
 def main():

@@ -125,9 +125,26 @@ class UniRendererPipeline:
             self._blank_ctx,
             (batch,) + self._blank_ctx.shape[1:])
 
+    # max images per VAE-encode chunk: full-res encoder activations are
+    # ~35MB/image/layer; chunking keeps peak HBM bounded for big stacks
+    # (the forward path encodes 6 maps x batch in one call)
+    VAE_CHUNK = 16
+
     @functools.partial(jax.jit, static_argnums=0)
     def _vae_encode(self, params, images, rng):
-        mean, logvar = self.vae.apply(params, images, method="encode")
+        def enc(imgs):
+            mean, logvar = self.vae.apply(params, imgs, method="encode")
+            return mean, logvar
+
+        n = images.shape[0]
+        c = self.VAE_CHUNK
+        if n > c and n % c == 0:
+            chunks = images.reshape((n // c, c) + images.shape[1:])
+            mean, logvar = jax.lax.map(enc, chunks)
+            mean = mean.reshape((n,) + mean.shape[2:])
+            logvar = logvar.reshape((n,) + logvar.shape[2:])
+        else:
+            mean, logvar = enc(images)
         z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
             rng, mean.shape, mean.dtype)
         return z * self.cfg.vae.scaling_factor
