@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Quality-parity harness (BASELINE.md: 'parity metrics (PSNR/LPIPS/FID of
+JAX outputs vs reference-style outputs on held-out Objaverse renders)').
+
+Pipeline per held-out object:
+  1. render ground-truth maps with the split-sum renderer (random camera,
+     env, material — the ObjaverseData_test recipe, dataset/objaverse.py:304)
+  2. forward rendering: GT intrinsics -> sampled image  -> PSNR vs GT image
+  3. inverse rendering: GT image+mask -> predicted maps -> per-map PSNR,
+     normal angle error, metallic/roughness MAE
+  4. FID between GT images and forward-rendered images (flax InceptionV3)
+
+With random weights this measures the harness, not the model; once trained/
+ported weights are loaded (--ckpt) the same command produces the numbers
+that BASELINE.md section 'Targets' asks for (PSNR >= 35 etc).
+
+Usage:
+  python tools/eval_quality.py --mesh-dir data/meshes --env-dir data/envs \
+      --out report.json [--ckpt DIR] [--n 16] [--steps 20] [--tiny]
+  python tools/eval_quality.py --synthetic --tiny --n 2 --steps 2   # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh-dir")
+    ap.add_argument("--env-dir")
+    ap.add_argument("--out", default="quality_report.json")
+    ap.add_argument("--ckpt")
+    ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--ensemble", type=int, default=1)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="synthetic sphere scenes (no data needed)")
+    ap.add_argument("--fid", action="store_true",
+                    help="also compute FID (needs n >= 8)")
+    args = ap.parse_args(argv)
+
+    import jax
+    if os.environ.get("UNIRENDER_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["UNIRENDER_PLATFORM"])
+    import jax.numpy as jnp
+
+    from unirenderer_tpu.core import config
+    from unirenderer_tpu.data.objaverse import (
+        ObjaverseDataTest, collate_render, material_grid,
+    )
+    from unirenderer_tpu.eval import metrics as M
+    from unirenderer_tpu.pipelines import UniRendererPipeline
+
+    cfg = config.tiny() if args.tiny else config.flagship()
+    res = cfg.vae.sample_size
+    pipe = UniRendererPipeline.create(cfg, jax.random.key(0),
+                                      dtype=jnp.float32 if args.tiny
+                                      else jnp.bfloat16)
+    if args.ckpt:
+        from unirenderer_tpu.core.checkpoint import CheckpointManager
+        cm = CheckpointManager(args.ckpt)
+        restored = cm.restore(template=jax.tree.map(np.asarray,
+                                                    pipe.dual_params))
+        if restored is not None:
+            pipe.dual_params = jax.tree.map(jnp.asarray, restored)
+            print(f"[eval] loaded checkpoint step {cm.latest_step()}")
+
+    # ---- build held-out batches ----
+    if args.synthetic:
+        batches = _synthetic_batches(cfg, args.n, res)
+    else:
+        meshes = sorted(glob.glob(os.path.join(args.mesh_dir, "*.npz")))
+        envs = sorted(d for d in glob.glob(os.path.join(args.env_dir, "*"))
+                      if os.path.isdir(d))
+        assert meshes and envs, "need preprocessed meshes + envs"
+        ds = ObjaverseDataTest(cfg.data, meshes, envs, seed=1234)
+        items = [ds[i % len(ds)] for i in range(args.n)]
+        batches = [collate_render(items[i:i + 4], resolution=res)
+                   for i in range(0, args.n, 4)]
+
+    norm_metric = M.NormalMetric()
+    psnr_fwd, psnr_maps = [], {k: [] for k in
+                               ("normal", "albedo", "spec_light",
+                                "diff_light")}
+    mr_mae = []
+    gt_images, fwd_images = [], []
+
+    for bi, batch in enumerate(batches):
+        rng = jax.random.key(1000 + bi)
+        gt_img = batch["image"]
+
+        # forward rendering from GT intrinsics
+        fwd = pipe.mask2image_3mod_albedo(
+            normal=batch["normal"], albedo=batch["albedo"],
+            spec_light=batch["spec_light"], diff_light=batch["diff_light"],
+            env=batch["env"], mask=batch["mask"],
+            metallic=batch["metallic"], roughness=batch["roughness"],
+            rng=rng, num_steps=args.steps)
+        psnr_fwd.append(M.psnr((np.asarray(fwd) + 1) / 2,
+                               (np.asarray(gt_img) + 1) / 2))
+        gt_images.append((np.asarray(gt_img) + 1) / 2)
+        fwd_images.append((np.clip(np.asarray(fwd), -1, 1) + 1) / 2)
+
+        # inverse rendering from GT image
+        inv = pipe.real_image2mask_3mod_albedo(
+            image=gt_img, mask=batch["mask"], rng=rng,
+            num_steps=args.steps, ensemble=args.ensemble)
+        for k in psnr_maps:
+            psnr_maps[k].append(M.psnr(
+                (np.asarray(inv[k]) + 1) / 2,
+                (np.asarray(batch[k]) + 1) / 2))
+        mask01 = (np.asarray(batch["mask"])[..., 0] + 1) / 2 > 0.5
+        norm_metric.update(np.asarray(inv["normal"]),
+                           np.asarray(batch["normal"]), mask01)
+        m_pred = np.asarray(inv["metallic"]).mean(axis=(1, 2))
+        r_pred = np.asarray(inv["roughness"]).mean(axis=(1, 2))
+        mr_mae.append(float(np.abs(m_pred - np.asarray(batch["metallic"]))
+                            .mean()
+                      + np.abs(r_pred - np.asarray(batch["roughness"]))
+                      .mean()) / 2)
+        print(f"[eval] batch {bi}: psnr_fwd={psnr_fwd[-1]:.2f}", flush=True)
+
+    report = {
+        "n_objects": args.n,
+        "steps": args.steps,
+        "psnr_forward_render": float(np.mean(psnr_fwd)),
+        "psnr_maps": {k: float(np.mean(v)) for k, v in psnr_maps.items()},
+        "normal_angle": norm_metric.summary(),
+        "metal_rough_mae": float(np.mean(mr_mae)),
+        "checkpoint": args.ckpt or "random-weights (harness check)",
+    }
+    if args.fid and len(gt_images) * gt_images[0].shape[0] >= 8:
+        from unirenderer_tpu.eval.inception import make_feature_fn
+        feat = make_feature_fn(batch=4)
+        report["fid_forward_vs_gt"] = float(M.fid(
+            np.concatenate(gt_images), np.concatenate(fwd_images), feat))
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+def _synthetic_batches(cfg, n, res):
+    """Sphere scenes rendered on the fly — no dataset required."""
+    import random
+
+    import jax.numpy as jnp
+
+    from unirenderer_tpu.data.objaverse import collate_render, material_grid
+    from unirenderer_tpu.render.mesh import make_sphere
+
+    sphere = make_sphere(12)
+    mesh = {
+        "v_pos": np.asarray(sphere.v_pos), "t_idx": np.asarray(
+            sphere.t_pos_idx),
+        "v_nrm": np.asarray(sphere.v_nrm), "v_tex": np.asarray(sphere.v_tex),
+        "v_tng": np.asarray(sphere.v_tng),
+        "kd": np.asarray([0.6, 0.5, 0.4], np.float32),
+    }
+    env = {"specular_0": np.ones((6, 8, 8, 3), np.float32),
+           "specular_1": np.ones((6, 4, 4, 3), np.float32),
+           "diffuse": np.ones((6, 4, 4, 3), np.float32)}
+    rng = random.Random(0)
+    grid = material_grid(cfg.data.material_grid)
+    items = []
+    for i in range(n):
+        m, r = rng.choice(grid)
+        items.append(dict(mesh=mesh, env=env, metallic=m, roughness=r,
+                          azimuth=rng.uniform(0, 360),
+                          elevation=rng.uniform(60, 120),
+                          distance=cfg.data.camera_distance))
+    return [collate_render(items[i:i + 2], resolution=res)
+            for i in range(0, n, 2)]
+
+
+if __name__ == "__main__":
+    main()
