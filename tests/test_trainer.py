@@ -51,3 +51,28 @@ def test_trainer_smoke_and_resume(tmp_path):
     s4_orig = jax.tree_util.tree_leaves(state.params)[0]
     np.testing.assert_allclose(np.asarray(s4), np.asarray(s4_orig),
                                atol=1e-6)
+
+
+def test_install_ported_recomputes_text_context(tmp_path):
+    """Round-1 weak #2: the SD port used to drop the ported text encoder,
+    leaving the cached blank-prompt context computed from RANDOM CLIP.
+    install_ported must recompute ctx from the ported weights."""
+    cfg = small_cfg()
+    tr = Trainer(cfg, str(tmp_path / "r"), n_devices=1, dtype=jnp.float32)
+    ctx_before = np.asarray(jax.device_get(tr.ctx))
+
+    from unirenderer_tpu.models.clip_text import init_text_encoder
+    _, other_text = init_text_encoder(cfg.text, jax.random.key(123),
+                                      dtype=jnp.float32)
+    dual_params = jax.device_get(tr.state.params)
+    tr.install_ported(dual_params, tr.vae_params, other_text)
+
+    ctx_after = np.asarray(jax.device_get(tr.ctx))
+    assert not np.allclose(ctx_before, ctx_after), (
+        "ported text params did not change the cached blank context")
+    # the replicated copy the train step actually consumes must match too
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(tr.ctx_r)), ctx_after, atol=0)
+    # and training still runs with the installed weights
+    state = tr.train(synthetic_batches(cfg, batch=2), max_steps=1)
+    assert int(jax.device_get(state.step)) == 1

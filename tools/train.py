@@ -68,17 +68,16 @@ def main(argv=None):
 
     # optional SD weight port (reference from_pretrained + surgery path)
     if args.sd_unet:
+        if not (args.sd_vae and args.sd_text):
+            ap.error("--sd-unet requires --sd-vae and --sd-text "
+                     "(the port installs all three stacks together)")
         from unirenderer_tpu.models import surgery
         unet_sd = surgery.load_torch_state_dict(args.sd_unet)
         vae_sd = surgery.load_torch_state_dict(args.sd_vae)
         text_sd = surgery.load_torch_state_dict(args.sd_text)
         dual_p, vae_p, text_p = surgery.port_sd_checkpoint(
             unet_sd, vae_sd, text_sd, cfg)
-        from unirenderer_tpu.parallel import mesh as pmesh
-        from unirenderer_tpu.train.train_step import create_train_state
-        trainer.state = pmesh.replicate(
-            create_train_state(cfg, dual_p), trainer.mesh)
-        trainer.vae_params_r = pmesh.replicate(vae_p, trainer.mesh)
+        trainer.install_ported(dual_p, vae_p, text_p)
 
     n_dev = len(jax.devices())
     global_batch = cfg.train.batch_size_per_device * n_dev

@@ -225,7 +225,7 @@ def inflate_conv_in(conv: Dict, repeats: int = 7,
     """Input-channel inflation: kernel (kh,kw,C,O) -> (kh,kw,C*r,O) * scale
     (reference train/train.py:976)."""
     k = jnp.tile(conv["kernel"], (1, 1, repeats, 1)) * scale
-    return {"kernel": k, "bias": conv["bias"]}
+    return {"kernel": k, "bias": jnp.array(conv["bias"], copy=True)}
 
 
 def inflate_conv_out(conv: Dict, repeats: int = 7,
@@ -249,22 +249,27 @@ def dual_stream_from_unet(dual_params: Dict, unet_params: Dict) -> Dict:
     u = unet_params["params"]
     p = jax.tree.map(lambda x: x, dual_params["params"])  # shallow copy
 
-    p["unet"] = jax.tree.map(jnp.asarray, u)
+    # Each subtree gets its OWN buffers: the train step donates params, and
+    # XLA rejects the same buffer donated twice (`f(donate(a), donate(a))`).
+    def _copy(tree):
+        return jax.tree.map(lambda x: jnp.array(x, copy=True), tree)
+
+    p["unet"] = _copy(u)
 
     enc = dict(p["controlnet"])
     enc["conv_in"] = inflate_conv_in(u["conv_in"])
-    enc["time_embedding"] = u["time_embedding"]
+    enc["time_embedding"] = _copy(u["time_embedding"])
     for k in u:
         if k.startswith("down_") or k == "mid":
-            enc[k] = u[k]
+            enc[k] = _copy(u[k])
     p["controlnet"] = enc
 
     dec = dict(p["controldec"])
-    dec["time_embedding"] = u["time_embedding"]
+    dec["time_embedding"] = _copy(u["time_embedding"])
     for k in u:
         if k.startswith("up_"):
-            dec[k] = u[k]
-    dec["conv_norm_out"] = u["conv_norm_out"]
+            dec[k] = _copy(u[k])
+    dec["conv_norm_out"] = _copy(u["conv_norm_out"])
     dec["conv_out"] = inflate_conv_out(u["conv_out"])
     p["controldec"] = dec
     return {"params": p}

@@ -46,10 +46,10 @@ class Trainer:
         self.dual, dual_params = init_dual_stream(
             cfg.unet, k1, ctx_len=cfg.text.max_length, dtype=dtype)
         self.vae, self.vae_params = init_vae(cfg.vae, k2, dtype=dtype)
-        text, text_params = init_text_encoder(cfg.text, k3, dtype=dtype)
+        self.text, self.text_params = init_text_encoder(
+            cfg.text, k3, dtype=dtype)
         # constant ' ' prompt context, cached once (train/train.py:1254)
-        self.ctx = jax.jit(lambda p: text.apply(p, blank_ids(cfg.text)))(
-            text_params)
+        self.ctx = self._blank_ctx(self.text_params)
 
         self.schedule = DiffusionSchedule.create(cfg.diffusion)
         self.mesh = pmesh.make_mesh(n_devices)
@@ -69,6 +69,26 @@ class Trainer:
         self.logger = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
         self.timer = PhaseTimer()
         self.guard = AnomalyGuard()
+
+    # ------------------------------------------------------------------
+    def _blank_ctx(self, text_params):
+        return jax.jit(lambda p: self.text.apply(
+            p, blank_ids(self.cfg.text)))(text_params)
+
+    def install_ported(self, dual_params, vae_params, text_params=None
+                       ) -> None:
+        """Install ported SD weights for all three stacks (reference
+        train/train.py:954-996).  Recomputes the cached blank-prompt
+        context from the PORTED text encoder — conditioning on the
+        random-init CLIP context would be garbage."""
+        self.state = pmesh.replicate(
+            create_train_state(self.cfg, dual_params), self.mesh)
+        self.vae_params = vae_params
+        self.vae_params_r = pmesh.replicate(vae_params, self.mesh)
+        if text_params is not None:
+            self.text_params = text_params
+            self.ctx = self._blank_ctx(text_params)
+            self.ctx_r = pmesh.replicate(self.ctx, self.mesh)
 
     # ------------------------------------------------------------------
     def maybe_resume(self) -> int:
