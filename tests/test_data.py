@@ -137,3 +137,26 @@ def test_pad_mesh_overflow_raises():
          "t_idx": np.zeros((4, 3), np.int32)}
     with pytest.raises(ValueError):
         pad_mesh(m, 8, 8)
+
+
+def test_collate_render_ssaa_antialiases_edges(tmp_path):
+    """ssaa=2 must produce fractional edge coverage in the mask (the
+    dr.antialias substitute); ssaa=1 yields only hard +-1 values."""
+    ds = _make_dataset(tmp_path)
+    item = ds[0]
+    # rotate the quad so its edges are slanted in screen space (an
+    # axis-aligned quad has no partially covered pixels to antialias)
+    c, s = np.cos(0.3), np.sin(0.3)
+    rot = np.asarray([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+    item["mesh"]["v_pos"] = item["mesh"]["v_pos"] @ rot.T
+    hard = collate_render([item], resolution=32, ssaa=1)
+    soft = collate_render([item], resolution=32, ssaa=2)
+    for k in ("image", "mask", "normal", "albedo"):
+        assert soft[k].shape == (1, 32, 32, 3), k
+    mh = np.asarray(hard["mask"])
+    ms = np.asarray(soft["mask"])
+    assert np.isin(mh, [-1.0, 1.0]).all()
+    frac = (~np.isclose(np.abs(ms), 1.0)).sum()
+    assert frac > 0                 # fractional coverage exists at edges
+    # coverage is preserved overall
+    assert abs((ms > 0).mean() - (mh > 0).mean()) < 0.1

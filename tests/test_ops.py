@@ -238,3 +238,85 @@ def test_build_env_mips_shapes():
     assert [m.shape[1] for m in spec] == [32, 16, 8]
     assert diff.shape == (6, 8, 8, 3)
     assert np.isfinite(np.asarray(diff)).all()
+
+
+# ---------------------------------------------------------------------------
+# Seamless cubemap filtering (reference c_src/cubemap.cu edge handling /
+# nvdiffrast boundary_mode='cube')
+# ---------------------------------------------------------------------------
+
+def _smooth_cube(res):
+    """Cubemap whose texel value is a smooth function of texel direction."""
+    dirs = np.asarray(cubemap.all_face_dirs(res))
+    return jnp.asarray(0.5 + 0.5 * dirs)          # (6,R,R,3), linear in d
+
+
+def _edge_crossing_dirs(eps):
+    """Direction pairs straddling all 12 cube edges (one pair per edge)."""
+    pairs = []
+    # 4 edges around each axis pair; enumerate by the two nonzero coords
+    for a in range(3):
+        for b in range(3):
+            if a >= b:
+                continue
+            for sa in (-1.0, 1.0):
+                for sb in (-1.0, 1.0):
+                    d1 = np.zeros(3); d2 = np.zeros(3)
+                    d1[a], d1[b] = sa * (1.0 + eps), sb * (1.0 - eps)
+                    d2[a], d2[b] = sa * (1.0 - eps), sb * (1.0 + eps)
+                    pairs.append((d1, d2))
+    return pairs
+
+
+def test_sample_cubemap_seam_continuity():
+    """Samples just either side of every cube edge must agree (seamless);
+    the clamped mode must show a larger seam jump on at least some edges."""
+    res = 16
+    cube = _smooth_cube(res)
+    pairs = _edge_crossing_dirs(eps=1e-4)
+    d1 = jnp.asarray(np.stack([p[0] for p in pairs]))
+    d2 = jnp.asarray(np.stack([p[1] for p in pairs]))
+    s1 = np.asarray(cubemap.sample_cubemap(cube, d1, seamless=True))
+    s2 = np.asarray(cubemap.sample_cubemap(cube, d2, seamless=True))
+    jump_seamless = np.abs(s1 - s2).max()
+    c1 = np.asarray(cubemap.sample_cubemap(cube, d1, seamless=False))
+    c2 = np.asarray(cubemap.sample_cubemap(cube, d2, seamless=False))
+    jump_clamped = np.abs(c1 - c2).max()
+    assert jump_seamless < 2e-3, jump_seamless
+    assert jump_clamped > 5 * jump_seamless     # clamp visibly discontinuous
+
+
+def test_sample_cubemap_seamless_matches_clamp_interior():
+    """Away from edges the seamless path must be bit-identical to clamp."""
+    res = 16
+    cube = jnp.asarray(np.random.default_rng(1).uniform(
+        size=(6, res, res, 3)).astype(np.float32))
+    # interior directions: jitter around face centers
+    g = np.linspace(-0.7, 0.7, 5)
+    gx, gy = np.meshgrid(g, g)
+    dirs = []
+    for f in range(6):
+        d = np.asarray(cubemap.cube_to_dir(
+            f, jnp.asarray(gx), jnp.asarray(gy)))
+        dirs.append(d.reshape(-1, 3))
+    dirs = jnp.asarray(np.concatenate(dirs))
+    a = np.asarray(cubemap.sample_cubemap(cube, dirs, seamless=True))
+    b = np.asarray(cubemap.sample_cubemap(cube, dirs, seamless=False))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sample_cubemap_seamless_accuracy_on_linear_field():
+    """On a cubemap storing f(d)=0.5+0.5d, near-edge seamless samples track
+    the analytic field much closer than clamped ones."""
+    res = 16
+    cube = _smooth_cube(res)
+    pairs = _edge_crossing_dirs(eps=0.01)
+    dirs = np.stack([p for pr in pairs for p in pr])
+    dn = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    want = 0.5 + 0.5 * dn
+    got_s = np.asarray(cubemap.sample_cubemap(cube, jnp.asarray(dirs), True))
+    got_c = np.asarray(cubemap.sample_cubemap(cube, jnp.asarray(dirs), False))
+    err_s = np.abs(got_s - want).max()
+    err_c = np.abs(got_c - want).max()
+    assert err_s < 0.02, err_s
+    assert err_s < err_c

@@ -130,3 +130,75 @@ def test_srgb_roundtrip():
     x = jnp.linspace(0.0, 1.0, 64)
     back = np.asarray(render.srgb_to_rgb(render.rgb_to_srgb(x)))
     np.testing.assert_allclose(back, np.asarray(x), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Mip-mapped 2D texture sampling (reference src/utils/texture.py:21-60)
+# ---------------------------------------------------------------------------
+
+def test_build_texture_mips_chain():
+    t = jnp.asarray(np.random.default_rng(0).uniform(
+        size=(16, 16, 3)).astype(np.float32))
+    mips = tex.build_texture_mips(t)
+    assert [m.shape[0] for m in mips] == [16, 8, 4, 2, 1]
+    # each level is the 2x average of the previous
+    np.testing.assert_allclose(
+        np.asarray(mips[1]),
+        np.asarray(t).reshape(8, 2, 8, 2, 3).mean((1, 3)), rtol=1e-6)
+    # 1x1 level is the global mean
+    np.testing.assert_allclose(np.asarray(mips[-1])[0, 0],
+                               np.asarray(t).mean((0, 1)), rtol=1e-5)
+
+
+def test_sample_texture2d_mip_level_selection():
+    """Explicit integer mip level must equal direct bilinear on that mip;
+    zero derivatives select the base level."""
+    rng = np.random.default_rng(1)
+    t = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    mips = tex.build_texture_mips(t)
+    uv = jnp.asarray(rng.uniform(0.1, 0.9, size=(50, 2)).astype(np.float32))
+    for lvl in (0, 2):
+        got = tex.sample_texture2d_mip(
+            mips, uv, mip_level=jnp.full((50,), float(lvl)))
+        want = tex.sample_texture2d(mips[lvl], uv, wrap="wrap")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+    base = tex.sample_texture2d_mip(mips, uv,
+                                    uv_deriv=jnp.zeros((50, 4)))
+    want = tex.sample_texture2d(mips[0], uv, wrap="wrap")
+    np.testing.assert_allclose(np.asarray(base), np.asarray(want), atol=1e-6)
+
+
+def test_uv_mip_level_footprint_rule():
+    """One-texel-per-pixel footprint -> level 0; 4-texel -> level 2."""
+    d = jnp.asarray([[1 / 32, 0.0, 0.0, 1 / 32],      # 1 texel on a 32-map
+                     [4 / 32, 0.0, 0.0, 4 / 32]])     # 4 texels
+    lvl = np.asarray(tex.uv_mip_level(d, 32, 32))
+    np.testing.assert_allclose(lvl, [0.0, 2.0], atol=1e-5)
+
+
+def test_sample_texture2d_mip_filters_checkerboard():
+    """A high-frequency checkerboard sampled with a large footprint must
+    return (near) the mean gray instead of aliasing."""
+    g = np.indices((64, 64)).sum(0) % 2
+    t = jnp.asarray(np.repeat(g[..., None], 3, -1).astype(np.float32))
+    mips = tex.build_texture_mips(t)
+    uv = jnp.asarray(np.random.default_rng(2).uniform(
+        0.2, 0.8, size=(64, 2)).astype(np.float32))
+    big = jnp.broadcast_to(jnp.asarray([0.25, 0.0, 0.0, 0.25]), (64, 4))
+    out = np.asarray(tex.sample_texture2d_mip(mips, uv, uv_deriv=big))
+    np.testing.assert_allclose(out, 0.5, atol=0.05)
+    centers = jnp.asarray(
+        np.stack([(np.arange(16) + 0.5) / 64,
+                  np.full(16, 0.5 / 64)], -1).astype(np.float32))
+    sharp = np.asarray(tex.sample_texture2d_mip(
+        mips, centers, uv_deriv=jnp.zeros((16, 4))))
+    assert sharp.std() > 0.2       # base level keeps the pattern
+
+
+def test_screen_uv_derivs_wrap_seam():
+    uvs = jnp.asarray(np.stack(
+        [np.linspace(0, 1.5, 8) % 1.0, np.full(8, 0.5)], -1))[None]
+    uvs = jnp.broadcast_to(uvs, (4, 8, 2))
+    d = np.asarray(tex.screen_uv_derivs(uvs, wrap=True))
+    assert np.abs(d).max() < 0.45      # the 0.96->0.17 wrap reads small

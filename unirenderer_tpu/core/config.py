@@ -164,6 +164,9 @@ class DataConfig:
     camera_distance: float = 4.0
     material_grid: int = 11                         # 11x11 metallic/roughness
     num_workers: int = 8
+    # supersampling factor for the render collate — our substitute for the
+    # reference's dr.antialias on every buffer (src/utils/render.py:287-294)
+    ssaa: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -158,15 +158,22 @@ def _render_batch(resolution: int, v_pos, t_idx, v_nrm, v_tng, mvps,
 
 
 def collate_render(items: List[Dict], resolution: int = 512,
-                   bg: float = 1.0) -> Dict[str, jnp.ndarray]:
+                   bg: float = 1.0, ssaa: int = 2) -> Dict[str, jnp.ndarray]:
     """The train/train.py:184-439 collate_fn equivalent: renders the batch
     and assembles the 8 training maps (in [-1,1]) + material scalars.
 
     Returns the BATCH_KEYS dict for train_step plus 'metallic'/'roughness'.
     Env maps for the 'env' conditioning image use the coarsest specular mip
     expanded to a latlong image (the reference feeds the env image itself).
+
+    Antialiasing: geometry buffers are rendered at `ssaa`x resolution and
+    average-pooled down — our substitute for the reference's per-buffer
+    `dr.antialias` (src/utils/render.py:287-294, 324-331).  Edge pixels get
+    fractional coverage in mask/alpha exactly as antialiased composites do.
+    ssaa=1 disables.
     """
     from unirenderer_tpu.ops.cubemap import cubemap_to_latlong
+    from unirenderer_tpu.ops.rasterize import ssaa_downsample
 
     b = len(items)
     stack = lambda key: jnp.asarray(
@@ -194,15 +201,18 @@ def collate_render(items: List[Dict], resolution: int = 512,
          for i in items]))
     fg = jnp.asarray(tex.fg_lut()[0])
 
-    bufs = _render_batch(resolution, v_pos, t_idx, v_nrm, v_tng, mvps,
-                         camposes, spec_mips, diffuse, metallics,
+    bufs = _render_batch(resolution * ssaa, v_pos, t_idx, v_nrm, v_tng,
+                         mvps, camposes, spec_mips, diffuse, metallics,
                          roughnesses, kds, fg)
 
-    def to_train(x4):                      # composite + [-1,1]
-        rgb = composite_background(x4, bg)
+    def down(x):
+        return ssaa_downsample(x, ssaa) if ssaa > 1 else x
+
+    def to_train(x4):                      # composite + downsample + [-1,1]
+        rgb = down(composite_background(x4, bg))
         return rgb * 2.0 - 1.0
 
-    mask = bufs["mask"]
+    mask = down(bufs["mask"])              # fractional coverage at edges
     mask3 = jnp.repeat(mask, 3, axis=-1)
     # material image: [metallic, metallic, roughness] masked, in [-1,1]
     # (reference process_material_and_mask, train/train.py:102-131)
@@ -219,7 +229,8 @@ def collate_render(items: List[Dict], resolution: int = 512,
         "image": to_train(bufs["shaded"]),
         "mask": mask3 * 2 - 1,
         "material": material,
-        "normal": bufs["gb_normal"][..., :3] * mask,   # already [-1,1]
+        "normal": down(bufs["gb_normal"][..., :3]
+                       * bufs["mask"]),                # already [-1,1]
         "albedo": to_train(bufs["albedo"]),
         "spec_light": to_train(bufs["spec_light"]),
         "diff_light": to_train(bufs["diff_light"]),

@@ -8,9 +8,12 @@ Conventions match the reference exactly (src/models/geometry/render/util.py:
 centers at (-1+1/R .. 1-1/R).
 
 Deviations (documented):
-  * Bilinear taps clamp at face edges instead of nvdiffrast's seamless
-    cross-face filtering; prefiltered light maps are low-frequency so the
-    seam error is small (verified in tests with smooth envs).
+  * Seamless cross-face bilinear filtering is implemented by remapping
+    off-face taps through their 3D direction onto the adjacent face
+    (nearest texel there) — matching nvdiffrast's `boundary_mode='cube'`
+    edge behavior.  At the 8 cube corners (taps outside TWO face edges)
+    the remap picks one of the 3 corner texels instead of nvdiffrast's
+    3-texel average; the residual error is confined to corner texels.
   * The GGX specular prefilter uses filtered importance sampling (Karis
     split-sum) instead of the CUDA NDF-bound search — same integral, a
     TPU-friendly gather/scan formulation.  One-time offline cost per env.
@@ -105,30 +108,71 @@ def dir_to_cube_uv(v: jax.Array):
 # Sampling
 # ---------------------------------------------------------------------------
 
-def sample_cubemap(cube: jax.Array, dirs: jax.Array) -> jax.Array:
+def cube_to_dir_vec(face: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Vectorized cube_to_dir where `face` is an int array (same mapping as
+    cube_to_dir above)."""
+    one = jnp.ones_like(x)
+    preds = [face == i for i in range(6)]
+    dx = jnp.select(preds, [one, -one, x, x, x, -x])
+    dy = jnp.select(preds, [-y, -y, one, -one, -y, -y])
+    dz = jnp.select(preds, [-x, x, y, -y, one, -one])
+    return jnp.stack([dx, dy, dz], axis=-1)
+
+
+def _seamless_tap_index(face: jax.Array, xi: jax.Array, yi: jax.Array,
+                        res: int):
+    """Resolve one bilinear tap (integer texel (xi, yi), possibly one texel
+    outside [0, res)) to a concrete (face, row, col) texel — crossing onto
+    the adjacent face when off-edge, like nvdiffrast boundary_mode='cube'
+    (reference use: src/utils/render.py:58,69; SURVEY N7)."""
+    inside = (xi >= 0) & (xi < res) & (yi >= 0) & (yi < res)
+    # off-face: rebuild the tap's plane point (outside [-1,1]) -> direction
+    # -> owning face + nearest texel there.
+    px = (xi.astype(jnp.float32) + 0.5) * (2.0 / res) - 1.0
+    py = (yi.astype(jnp.float32) + 0.5) * (2.0 / res) - 1.0
+    d = cube_to_dir_vec(face, px, py)
+    f2, u2, v2 = dir_to_cube_uv(d)
+    ix2 = jnp.clip(jnp.round((u2 + 1.0) * 0.5 * res - 0.5),
+                   0, res - 1).astype(jnp.int32)
+    iy2 = jnp.clip(jnp.round((v2 + 1.0) * 0.5 * res - 0.5),
+                   0, res - 1).astype(jnp.int32)
+    fo = jnp.where(inside, face, f2)
+    xo = jnp.where(inside, jnp.clip(xi, 0, res - 1), ix2)
+    yo = jnp.where(inside, jnp.clip(yi, 0, res - 1), iy2)
+    return fo, yo, xo
+
+
+def sample_cubemap(cube: jax.Array, dirs: jax.Array,
+                   seamless: bool = True) -> jax.Array:
     """Bilinear cubemap sample.  cube (6,R,R,C); dirs (...,3) -> (...,C).
 
-    Taps clamp at face edges (see module docstring deviation note).
+    Taps that fall off the face edge wrap onto the adjacent face
+    (seamless=True, the nvdiffrast 'cube' boundary mode); seamless=False
+    clamps at face edges (cheaper; for interior-dominated workloads).
     """
     res = cube.shape[1]
     face, x, y = dir_to_cube_uv(dirs)
     # continuous pixel coords: pixel centers at (i+0.5)*2/R - 1
     fx = (x + 1.0) * 0.5 * res - 0.5
     fy = (y + 1.0) * 0.5 * res - 0.5
-    x0 = jnp.clip(jnp.floor(fx), 0, res - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(fy), 0, res - 1).astype(jnp.int32)
-    x1 = jnp.clip(x0 + 1, 0, res - 1)
-    y1 = jnp.clip(y0 + 1, 0, res - 1)
-    wx = jnp.clip(fx - x0, 0.0, 1.0)[..., None]
-    wy = jnp.clip(fy - y0, 0.0, 1.0)[..., None]
+    x0u = jnp.floor(fx).astype(jnp.int32)        # may be -1 .. res-1
+    y0u = jnp.floor(fy).astype(jnp.int32)
+    wx = jnp.clip(fx - x0u, 0.0, 1.0)[..., None]
+    wy = jnp.clip(fy - y0u, 0.0, 1.0)[..., None]
 
-    def tap(yy, xx):
-        return cube[face, yy, xx]
+    if seamless:
+        def tap(yy, xx):
+            f, r, c = _seamless_tap_index(face, xx, yy, res)
+            return cube[f, r, c]
+    else:
+        def tap(yy, xx):
+            return cube[face, jnp.clip(yy, 0, res - 1),
+                        jnp.clip(xx, 0, res - 1)]
 
-    c00 = tap(y0, x0)
-    c01 = tap(y0, x1)
-    c10 = tap(y1, x0)
-    c11 = tap(y1, x1)
+    c00 = tap(y0u, x0u)
+    c01 = tap(y0u, x0u + 1)
+    c10 = tap(y0u + 1, x0u)
+    c11 = tap(y0u + 1, x0u + 1)
     top = c00 * (1 - wx) + c01 * wx
     bot = c10 * (1 - wx) + c11 * wx
     return top * (1 - wy) + bot * wy

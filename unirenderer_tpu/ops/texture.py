@@ -51,6 +51,81 @@ def sample_texture2d(tex: jax.Array, uv: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Mip-mapped sampling (reference src/utils/texture.py:21-60 Texture2D mip
+# chain + texture2d_mip; dr.texture filter_mode='linear-mipmap-linear')
+# ---------------------------------------------------------------------------
+
+def build_texture_mips(tex: jax.Array) -> list:
+    """Auto mip chain by 2x average pooling (reference texture2d_mip
+    forward = avg_pool_nhwc, src/utils/texture.py:23-25).  Stops when either
+    dimension becomes odd or reaches 1.  Returns [base, mip1, ...]."""
+    mips = [tex]
+    while (min(mips[-1].shape[0], mips[-1].shape[1]) > 1
+           and mips[-1].shape[0] % 2 == 0 and mips[-1].shape[1] % 2 == 0):
+        h, w, c = mips[-1].shape
+        mips.append(mips[-1].reshape(h // 2, 2, w // 2, 2, c).mean((1, 3)))
+    return mips
+
+
+def uv_mip_level(uv_deriv: jax.Array, width: int, height: int) -> jax.Array:
+    """Per-pixel fractional mip level from screen-space UV derivatives —
+    the implicit-LOD rule dr.texture applies to `texc_deriv` (GL spec):
+    level = 0.5*log2(max footprint in base-level texels).
+
+    uv_deriv (..., 4) = (du/dx, dv/dx, du/dy, dv/dy) in UV units.
+    """
+    dx2 = (uv_deriv[..., 0] * width) ** 2 + (uv_deriv[..., 1] * height) ** 2
+    dy2 = (uv_deriv[..., 2] * width) ** 2 + (uv_deriv[..., 3] * height) ** 2
+    return 0.5 * jnp.log2(jnp.maximum(jnp.maximum(dx2, dy2), 1e-20))
+
+
+def sample_texture2d_mip(mips, uv: jax.Array,
+                         uv_deriv: jax.Array = None,
+                         mip_level: jax.Array = None,
+                         wrap: str = "wrap") -> jax.Array:
+    """Trilinear (linear-mipmap-linear) 2D texture sample over an explicit
+    mip chain — replaces `Texture2D.sample(texc, texc_deriv)` (reference
+    src/utils/texture.py:66-76).
+
+    mips: list of (H_l, W_l, C); uv (..., 2); either `uv_deriv` (..., 4)
+    (screen-space derivatives, implicit LOD) or an explicit fractional
+    `mip_level` (...,).
+    """
+    n = len(mips)
+    if mip_level is None:
+        if uv_deriv is None:
+            mip_level = jnp.zeros(uv.shape[:-1])
+        else:
+            mip_level = uv_mip_level(uv_deriv, mips[0].shape[1],
+                                     mips[0].shape[0])
+    lvl = jnp.clip(mip_level, 0.0, n - 1.0)
+    out = None
+    for li in range(n):
+        w = jnp.clip(1.0 - jnp.abs(lvl - li), 0.0, 1.0)[..., None]
+        s = sample_texture2d(mips[li], uv, wrap=wrap)
+        out = s * w if out is None else out + s * w
+    return out
+
+
+def screen_uv_derivs(gb_texc: jax.Array, wrap: bool = True) -> jax.Array:
+    """Finite-difference screen-space UV derivatives of an interpolated
+    (H, W, 2) texcoord image — the quad-derivative analogue GPUs feed the
+    implicit-LOD rule (our rasterizer substitute for nvdiffrast's analytic
+    `rast_db`).  Returns (H, W, 4) = (du/dx, dv/dx, du/dy, dv/dy).
+
+    wrap=True folds differences across a repeating-texture seam
+    (uv 0.99 -> 0.01 reads as +0.02, not -0.98)."""
+    ddx = jnp.concatenate([gb_texc[:, 1:] - gb_texc[:, :-1],
+                           gb_texc[:, -1:] - gb_texc[:, -2:-1]], axis=1)
+    ddy = jnp.concatenate([gb_texc[1:] - gb_texc[:-1],
+                           gb_texc[-1:] - gb_texc[-2:-1]], axis=0)
+    if wrap:
+        ddx = ddx - jnp.round(ddx)
+        ddy = ddy - jnp.round(ddy)
+    return jnp.concatenate([ddx, ddy], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # FG LUT (split-sum environment BRDF): FG(NdotV, roughness) -> (scale, bias)
 # ---------------------------------------------------------------------------
 

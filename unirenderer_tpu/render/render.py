@@ -130,8 +130,14 @@ def render_mesh(mesh: Mesh, mvp: jax.Array, campos: jax.Array,
 
     # albedo
     if kd_texture is not None:
-        gb_texc, _ = interpolate(mesh.v_tex, rast, tri)
-        kd = tex.sample_texture2d(kd_texture, gb_texc, wrap="wrap")
+        # trilinear mip sampling (reference Texture2D.sample with
+        # texc_deriv, src/utils/texture.py:66-76) — implicit LOD from
+        # screen-space UV derivatives
+        gb_texc, texc_mask = interpolate(mesh.v_tex, rast, tri)
+        mips = tex.build_texture_mips(kd_texture)
+        uv_dr = tex.screen_uv_derivs(gb_texc, wrap=True) * texc_mask
+        kd = tex.sample_texture2d_mip(mips, gb_texc, uv_deriv=uv_dr,
+                                      wrap="wrap")
     elif kd_const is not None:
         kd = jnp.broadcast_to(kd_const, gb_pos.shape)
     else:
