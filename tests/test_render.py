@@ -202,3 +202,32 @@ def test_screen_uv_derivs_wrap_seam():
     uvs = jnp.broadcast_to(uvs, (4, 8, 2))
     d = np.asarray(tex.screen_uv_derivs(uvs, wrap=True))
     assert np.abs(d).max() < 0.45      # the 0.96->0.17 wrap reads small
+
+
+def test_conditioning_light_maps_match_renderer(sphere):
+    """The relight-path reconstruction of spec/diff conditioning maps from
+    a normal map (render/light.conditioning_light_maps) must match the
+    renderer's own split-sum buffers for a distant camera (where the
+    constant-view-dir approximation holds)."""
+    from unirenderer_tpu.render.light import conditioning_light_maps
+
+    from unirenderer_tpu.ops import cubemap as cm
+
+    def smooth_cube(r):                    # value = smooth fn of direction
+        d = np.asarray(cm.all_face_dirs(r))
+        return jnp.asarray((0.55 + 0.35 * d).astype(np.float32))
+
+    spec = tuple(smooth_cube(r) for r in (16, 8, 4))
+    env = EnvLight(specular=spec, diffuse=smooth_cube(4))
+    # camera far away on +x: per-pixel view dirs ~ constant (1,0,0)
+    mvp, campos = camera.spherical_camera(0.0, 90.0, 40.0, fovy_deg=3.0)
+    rough = 0.4
+    bufs = render.render_mesh(sphere, mvp, campos, env, 0.3, rough, 64)
+    mask = np.asarray(bufs["mask"])[..., 0] > 0.5
+    nrm = bufs["gb_normal"][..., :3]
+    spec_l, diff_l = conditioning_light_maps(
+        env, nrm, jnp.asarray(rough), view_dir=(1.0, 0.0, 0.0))
+    for got, key in ((diff_l, "diff_light"), (spec_l, "spec_light")):
+        want = np.asarray(bufs[key])[..., :3]
+        err = np.abs(np.asarray(got) - want)[mask]
+        assert err.max() < 0.05, (key, err.max())

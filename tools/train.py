@@ -85,6 +85,11 @@ def main(argv=None):
     if args.synthetic:
         batches = synthetic_batches(cfg, global_batch)
     else:
+        # async prefetched pipeline: render-collate runs in a background
+        # thread and OVERLAPS the device train step — unlike the
+        # reference's synchronous in-loop collate (train/train.py:1239,
+        # the HOT-loop mistake SURVEY §3.1 flags)
+        from unirenderer_tpu.data.input_pipeline import input_pipeline
         from unirenderer_tpu.data.objaverse import (
             ObjaverseData, collate_render,
         )
@@ -93,15 +98,12 @@ def main(argv=None):
                       if os.path.isdir(d))
         assert meshes and envs, "no preprocessed meshes/envs found"
         ds = ObjaverseData(cfg.data, meshes, envs)
-
-        def batch_iter():
-            i = 0
-            while True:
-                items = [ds[(i + j) % len(ds)] for j in range(global_batch)]
-                i += global_batch
-                yield collate_render(items, resolution=args.resolution)
-
-        batches = batch_iter()
+        batches = input_pipeline(
+            ds, global_batch,
+            collate=lambda items: collate_render(
+                items, resolution=args.resolution, ssaa=cfg.data.ssaa),
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
 
     state = trainer.train(batches, max_steps=args.steps)
     print(f"finished at step {int(jax.device_get(state.step))}; "

@@ -530,25 +530,51 @@ class UniRendererPipeline:
 
     def relight(self, *, image, mask, new_env, rng,
                 num_steps: Optional[int] = None,
-                ensemble: Optional[int] = None) -> jax.Array:
-        """image+mask (B,H,W,3 in [-1,1]) + new env image -> re-lit RGB.
+                ensemble: Optional[int] = None,
+                env_res: int = 128, env_samples: int = 64) -> jax.Array:
+        """image+mask (B,H,W,3 in [-1,1]) + new environment -> re-lit RGB.
 
         Inverse-render the photo into intrinsics, then forward-render with
-        the decomposed material/normal/albedo and the NEW environment.
-        spec/diff light maps for the new env are approximated by the env
-        image itself at this stage (exact relighting uses the renderer's
-        split-sum maps from render/light.py when the env is available as
-        a prefiltered EnvLight).
+        the decomposed material/normal/albedo and REAL split-sum
+        conditioning maps of the new environment: the env is prefiltered
+        (render/light.py env_from_latlong == the light2map pipeline) and
+        spec/diff light maps are reconstructed per-pixel from the
+        decomposed normals — the same lookups the renderer bakes into
+        training data, so the forward model sees in-distribution
+        conditions.
+
+        `new_env`: an EnvLight, or an (H, W, 3) linear-HDR latlong image
+        (prefiltered here at `env_res`/`env_samples` quality).
         """
+        from unirenderer_tpu.ops.cubemap import cubemap_to_latlong
+        from unirenderer_tpu.render.light import (
+            EnvLight, conditioning_light_maps, env_from_latlong,
+        )
+
         k1, k2 = jax.random.split(rng)
         dec = self.real_image2mask_3mod_albedo(
             image=image, mask=mask, rng=k1, num_steps=num_steps,
             ensemble=ensemble or 1)
         metallic = dec["metallic"].mean(axis=(1, 2))
         roughness = dec["roughness"].mean(axis=(1, 2))
+
+        if not isinstance(new_env, EnvLight):
+            new_env = env_from_latlong(jnp.asarray(new_env), res=env_res,
+                                       num_samples=env_samples)
+        mask01 = jnp.clip(mask * 0.5 + 0.5, 0.0, 1.0)
+        spec_l, diff_l = conditioning_light_maps(
+            new_env, dec["normal"], roughness)
+        # composite over the white background like the training maps
+        # (data/objaverse.py collate_render to_train) and map to [-1,1]
+        spec_img = (spec_l * mask01 + (1.0 - mask01)) * 2.0 - 1.0
+        diff_img = (diff_l * mask01 + (1.0 - mask01)) * 2.0 - 1.0
+        hw = dec["normal"].shape[1]
+        env_img = cubemap_to_latlong(new_env.diffuse, (hw, hw))
+        env_img = jnp.clip(env_img, 0.0, 1.0) * 2.0 - 1.0
+        env_img = jnp.broadcast_to(env_img, dec["normal"].shape)
         return self.mask2image_3mod_albedo(
             normal=dec["normal"], albedo=dec["albedo"],
-            spec_light=new_env, diff_light=new_env, env=new_env,
+            spec_light=spec_img, diff_light=diff_img, env=env_img,
             mask=mask, metallic=metallic, roughness=roughness,
             rng=k2, num_steps=num_steps)
 
