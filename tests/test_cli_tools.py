@@ -129,3 +129,66 @@ def test_train_cli_real_data_async_pipeline(tmp_path):
         capture_output=True, text=True, timeout=900, env=env)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "finished at step 2" in r.stdout
+
+
+def test_segmentation_mask_contract(tmp_path):
+    """eval/segmentation.py: external mask files (png + npy) load per the
+    contract; the box-prompt heuristic segments an object inside the box
+    (VERDICT round-1 item 10)."""
+    from PIL import Image
+
+    from unirenderer_tpu.eval.segmentation import (
+        box_prompt_mask, load_mask,
+    )
+
+    m = np.zeros((64, 64), np.uint8)
+    m[20:40, 10:30] = 255
+    p_png = str(tmp_path / "m.png")
+    Image.fromarray(m).save(p_png)
+    p_npy = str(tmp_path / "m.npy")
+    np.save(p_npy, (m > 0).astype(np.float32))
+    for p in (p_png, p_npy):
+        got = load_mask(p, size=64)
+        assert got.shape == (64, 64, 3)
+        np.testing.assert_array_equal(got[..., 0], (m > 0).astype(
+            np.float32))
+    # resize path
+    small = load_mask(p_png, size=32)
+    assert small.shape == (32, 32, 3) and set(np.unique(small)) <= {0., 1.}
+
+    # box prompt: gray object on noisy light background
+    rng = np.random.default_rng(0)
+    img = 0.9 + 0.05 * rng.standard_normal((64, 64, 3))
+    img[24:40, 24:44] = [0.2, 0.3, 0.4]
+    img = np.clip(img, 0, 1).astype(np.float32)
+    got = box_prompt_mask(img, (20, 20, 48, 44))
+    inside = got[26:38, 26:42, 0]
+    outside = got[..., 0].copy()
+    outside[20:44, 20:48] = 0
+    assert inside.mean() > 0.95          # object found
+    assert outside.sum() == 0            # nothing outside the box
+
+
+def test_run_inverse_external_mask_cli(tmp_path):
+    """CLI accepts an external mask file end-to-end (tiny model)."""
+    from PIL import Image
+    size = 64
+    img = (np.full((size, size, 3), 255, np.uint8))
+    img[16:48, 16:48] = [100, 120, 140]
+    p_img = str(tmp_path / "in.png")
+    Image.fromarray(img).save(p_img)
+    m = np.zeros((size, size), np.uint8)
+    m[16:48, 16:48] = 255
+    p_mask = str(tmp_path / "m.png")
+    Image.fromarray(m).save(p_mask)
+
+    env = dict(os.environ, UNIRENDER_PLATFORM="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "unirenderer_tpu.eval.run_inverse",
+         "--image", p_img, "--mask", p_mask, "--out",
+         str(tmp_path / "out"), "--tiny", "--steps", "2",
+         "--ensemble", "1"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (tmp_path / "out" / "normal" / "0.png").exists()

@@ -4,8 +4,13 @@ upload -> box/point select -> segment -> ensemble decompose -> show maps.
 The reference app is broken as committed (imports nonexistent classes,
 test_app.py:54-55); this one runs.  gradio is optional (not in the base
 image): `python -m unirenderer_tpu.eval.app` starts the UI when gradio is
-installed, else prints instructions.  Segmentation uses the mask heuristic
-from run_inverse (SAM2 stays an external torch-side tool, per SURVEY 7.7).
+installed, else prints instructions.
+
+Segmentation (reference: in-process SAM2 from a 2-click box,
+test_app.py:169-192) is pluggable per eval/segmentation.py: upload an
+external mask (SAM2 command documented there), give a box for the
+built-in box-prompt heuristic, or fall back to the white-background
+heuristic.
 """
 
 from __future__ import annotations
@@ -25,16 +30,26 @@ def build_app(pipe=None, steps: int = 20, ensemble: int = 5):
     import jax.numpy as jnp
 
     from unirenderer_tpu.core import config
-    from unirenderer_tpu.eval.run_inverse import auto_mask
+    from unirenderer_tpu.eval.segmentation import auto_mask, box_prompt_mask
     from unirenderer_tpu.pipelines import UniRendererPipeline
 
     if pipe is None:
         pipe = UniRendererPipeline.create(config.flagship(),
                                           jax.random.key(0))
 
-    def decompose(image):
+    def decompose(image, mask_img, box_text):
         img01 = np.asarray(image, np.float32) / 255.0
-        mask01 = auto_mask(img01)
+        if mask_img is not None:           # external mask (SAM2 etc.)
+            m = np.asarray(mask_img, np.float32)
+            if m.ndim == 3:
+                m = m[..., 0]
+            mask01 = ((m > 127).astype(np.float32)[..., None]
+                      .repeat(3, -1))
+        elif box_text:
+            mask01 = box_prompt_mask(
+                img01, [int(v) for v in box_text.split(",")])
+        else:
+            mask01 = auto_mask(img01)
         out = pipe.real_image2mask_3mod_albedo(
             image=jnp.asarray(img01 * 2 - 1)[None],
             mask=jnp.asarray(mask01 * 2 - 1)[None],
@@ -51,11 +66,14 @@ def build_app(pipe=None, steps: int = 20, ensemble: int = 5):
         gr.Markdown("# Uni-Renderer TPU — inverse rendering")
         with gr.Row():
             inp = gr.Image(label="input")
+            mask_in = gr.Image(label="mask (optional; see "
+                               "eval/segmentation.py for the SAM2 recipe)")
+        box_in = gr.Textbox(label="box prompt x0,y0,x1,y1 (optional)")
         btn = gr.Button("Decompose")
         outs = [gr.Image(label=n) for n in
                 ("albedo", "normal", "metallic", "roughness",
                  "spec_light", "diff_light")]
-        btn.click(decompose, inputs=[inp], outputs=outs)
+        btn.click(decompose, inputs=[inp, mask_in, box_in], outputs=outs)
     return demo
 
 

@@ -3,15 +3,16 @@
 (SURVEY C12): image (+ mask) -> ensemble-of-5 inverse rendering at 20 UniPC
 steps -> 6 map folders.
 
-Mask source: the reference runs SAM2 from a center-point prompt
-(test_real.py:520-533).  SAM2 is an external torch stack; here the mask
-comes from --mask FILE, or --auto-mask (luminance/border heuristic) for
-quick runs — a documented substitution; any external segmenter's mask file
-plugs in.
+Mask source (eval/segmentation.py, the MASK FILE CONTRACT): --mask FILE
+accepts any external segmenter's output (the documented SAM2 command in
+segmentation.py produces a compatible file, mirroring the reference's
+in-process SAM2 at test_real.py:520-533); --box x0,y0,x1,y1 runs the
+built-in box-prompt heuristic; default is the white-background heuristic.
 
 Usage:
   python -m unirenderer_tpu.eval.run_inverse --image in.png --out outdir \
-      [--mask mask.png] [--ckpt dir] [--steps 20] [--ensemble 5]
+      [--mask mask.png|mask.npy] [--box x0,y0,x1,y1] [--ckpt dir] \
+      [--steps 20] [--ensemble 5]
 """
 
 from __future__ import annotations
@@ -22,12 +23,9 @@ import os
 import numpy as np
 
 
-def auto_mask(img01: np.ndarray, thresh: float = 0.95) -> np.ndarray:
-    """Heuristic object mask: non-white-background pixels, largest blob
-    kept via flood-ish morphological cleanup (documented SAM2 stand-in)."""
-    bg = (img01 > thresh).all(axis=-1)
-    mask = (~bg).astype(np.float32)
-    return mask[..., None].repeat(3, -1)
+from unirenderer_tpu.eval.segmentation import (   # noqa: F401 (re-export)
+    auto_mask, box_prompt_mask, load_mask,
+)
 
 
 def load_image(path: str, size: int) -> np.ndarray:
@@ -47,7 +45,9 @@ def save_image(path: str, arr01: np.ndarray) -> None:
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--image", required=True)
-    ap.add_argument("--mask")
+    ap.add_argument("--mask", help="external mask file (png/npy), see "
+                    "eval/segmentation.py MASK FILE CONTRACT")
+    ap.add_argument("--box", help="x0,y0,x1,y1 box-prompt heuristic mask")
     ap.add_argument("--out", required=True)
     ap.add_argument("--ckpt", help="checkpoint dir (trained params)")
     ap.add_argument("--steps", type=int, default=20)
@@ -81,7 +81,10 @@ def main(argv=None):
 
     img01 = load_image(args.image, size)
     if args.mask:
-        mask01 = load_image(args.mask, size)
+        mask01 = load_mask(args.mask, size)
+    elif args.box:
+        mask01 = box_prompt_mask(img01,
+                                 [int(v) for v in args.box.split(",")])
     else:
         mask01 = auto_mask(img01)
 
