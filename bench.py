@@ -28,7 +28,7 @@ import time
 
 A800_IMAGES_PER_SEC_ESTIMATE = 1.0
 NUM_STEPS = 20
-BATCH = 16
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 
 
 def main():
@@ -56,7 +56,7 @@ def main():
         base,
         unet=dataclasses.replace(
             base.unet,
-            use_flash_attention=os.environ.get("BENCH_FLASH", "0") == "1",
+            use_flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
             remat=False))
 
     dual = DualStreamModel(cfg.unet, jnp.bfloat16)

@@ -154,11 +154,18 @@ def _attention(q: jax.Array, k: jax.Array, v: jax.Array,
                use_flash: bool) -> jax.Array:
     """Scaled dot-product attention over (B, S, H, D) tensors.
 
-    The d-major formulation is the default TPU path; the Pallas flash
-    kernel (ops/_flash_kernel.py) remains available for very long
-    sequences where the (S,S) score matrix would not fit HBM comfortably.
+    use_flash=True routes self-attention through the Pallas flash kernel
+    (ops/flash_attention.py) where it tiles — measured on v5e at B16/H8
+    bf16 (tools/bench_attention.py, PERF.md round 2): 11.3ms vs 27.6ms
+    d-major at S4096/D40 and 2.2ms vs 3.2ms at S1024/D80.  Shapes the
+    kernel can't tile (cross-attention kv=77, the S=256/D=160 level) fall
+    back to d-major XLA attention, which wins there.
     """
-    del use_flash   # d-major beats both XLA-standard and padded flash here
+    if use_flash:
+        from unirenderer_tpu.ops.flash_attention import maybe_flash_attention
+        out = maybe_flash_attention(q, k, v)
+        if out is not None:
+            return out
     return dmajor_attention(q, k, v)
 
 

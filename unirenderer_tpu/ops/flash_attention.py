@@ -1,38 +1,80 @@
-"""Flash attention for UNet self-attention (Pallas TPU kernel).
+"""Flash attention for UNet self-attention — TPU replacement for the
+reference's xformers memory-efficient attention (train/train.py:1057-1070)
+and attention slicing (controlnet.py:1588-1651).
 
-The reference relies on xformers memory-efficient attention
-(train/train.py:1057-1070) and attention slicing (controlnet.py:1588-1651).
-On TPU the fused path is a Pallas flash kernel; sequence lengths here are
-short (<= 4096 for the 64x64 latent self-attention, 77 for text cross
-attention), so XLA's fused attention is already near-optimal — the Pallas
-kernel is used when shapes tile cleanly and falls back otherwise.
+Backed by the JAX library's Pallas TPU flash kernel
+(jax.experimental.pallas.ops.tpu.flash_attention — double-buffered K/V
+pipeline, online softmax, custom VJP), wrapped for the model's (B, S, H, D)
+layout with block sizes tuned for the SD attention shapes (S=4096/D=40,
+S=1024/D=80).  The kernel never materialises the (S, S) score matrix in
+HBM — the win over the materialising XLA path grows with S (see PERF.md
+round-2 A/B).  Falls back for shapes the kernel doesn't tile
+(S % 128 != 0, e.g. cross-attention K/V at 77; or head_dim > 128 not a
+multiple of 128, i.e. D=160 at the 16^2 level, where S=256 is cheap and
+d-major XLA attention is used instead).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 
+def flash_attention_available(s: int, d: int, sk: Optional[int] = None,
+                              backend: Optional[str] = None) -> bool:
+    """Can the Pallas kernel run for (seq, head_dim)?"""
+    backend = backend or jax.default_backend()
+    if backend != "tpu":
+        return False
+    sk = sk or s
+    if s % 128 != 0 or sk % 128 != 0:
+        return False
+    return d <= 128 or d % 128 == 0
+
+
+@functools.lru_cache(maxsize=None)
+def _block_sizes(s: int, sk: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    # Swept on v5e at B16/H8/D40 bf16 (tools/bench_attention.py sweep):
+    # (block_q, block_k) 2048/1024 -> 10.1ms vs 11.4ms at 512/512; larger
+    # q blocks amortise the online-softmax bookkeeping, bq=4096 exceeds
+    # VMEM.  Both divide every SD level (4096/1024/256).
+    bq = min(2048, s)
+    bk = min(1024, sk)
+    return BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bq, block_k_dq=bk, block_q_dq=bq,
+    )
+
+
+def tpu_flash_attention(q: jax.Array, k: jax.Array,
+                        v: jax.Array) -> jax.Array:
+    """Flash attention over (B, S, H, D) tensors (the model layout)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention,
+    )
+
+    d = q.shape[-1]
+    qt = q.transpose(0, 2, 1, 3)            # (B, H, S, D)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    o = flash_attention(qt, kt, vt, sm_scale=1.0 / math.sqrt(d),
+                        block_sizes=_block_sizes(qt.shape[2], kt.shape[2]))
+    return o.transpose(0, 2, 1, 3)
+
+
 def maybe_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array
                           ) -> Optional[jax.Array]:
-    """Run the Pallas flash kernel if shapes/backend allow, else None.
-
-    q, k, v: (B, S, H, D).  Returns (B, S, H, D) or None for fallback.
-    """
-    if jax.default_backend() != "tpu":
-        return None
+    """Run the flash kernel if shapes/backend allow, else None (caller
+    falls back to d-major XLA attention)."""
     b, s, h, d = q.shape
-    sk = k.shape[1]
-    # kernel pads head_dim internally; seq lengths must tile by 128
-    # (the 64^2-latent self-attention: 4096/1024/256 qualify, 64 falls back)
-    if s % 128 != 0 or sk % 128 != 0:
+    if not flash_attention_available(s, d, sk=k.shape[1]):
         return None
-    try:
-        from unirenderer_tpu.ops._flash_kernel import flash_attention
-        return flash_attention(q, k, v)
-    except Exception:
-        return None
+    return tpu_flash_attention(q, k, v)
