@@ -56,6 +56,23 @@ class CheckpointManager:
         path = os.path.join(self._step_dir(step), "state")
         return self._ckptr.restore(path, template)
 
+    def restore_params(self, step: Optional[int] = None) -> Any:
+        """Restore just the MODEL PARAMS from a trainer checkpoint (the
+        inference loaders' path: eval CLIs hold no optimizer state).
+
+        The saved tree is a TrainState (step, params, opt_state) NamedTuple,
+        serialized by orbax as a nested container; restore without a
+        template and dig out the params subtree.
+        """
+        raw = self.restore(step, template=None)
+        if raw is None:
+            return None
+        if isinstance(raw, dict) and "params" in raw:
+            return raw["params"]
+        if isinstance(raw, (list, tuple)) and len(raw) == 3:
+            return raw[1]                    # (step, params, opt_state)
+        return raw                           # params-only checkpoint
+
     def _rotate(self) -> None:
         """Keep only the newest `total_limit` checkpoints
         (reference --checkpoints_total_limit, train/train.py:1434-1457)."""

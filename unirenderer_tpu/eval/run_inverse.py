@@ -74,8 +74,7 @@ def main(argv=None):
     if args.ckpt:
         from unirenderer_tpu.core.checkpoint import CheckpointManager
         cm = CheckpointManager(args.ckpt)
-        restored = cm.restore(template=jax.tree.map(np.asarray,
-                                                    pipe.dual_params))
+        restored = cm.restore_params()
         if restored is not None:
             pipe.dual_params = jax.tree.map(jnp.asarray, restored)
 

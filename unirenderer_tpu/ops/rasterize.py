@@ -65,17 +65,55 @@ def _tile_size(n: int, target: int = 128) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _pallas_ok(n_tris: int, height: int, width: int, chunk: int) -> bool:
+    """Can the Pallas tile kernel handle this size?  The per-tile survivor
+    lists live in SMEM: n_tiles * n_chunks * 4B must stay <= 512KB (the
+    largest empirically-compiling configuration on v5e; see
+    tools/bench_raster.py).  Oversized cases (e.g. the data path's
+    conservative t_pad=131072 at the 1024^2 SSAA resolution) fall back to
+    the XLA path — lower t_pad to a realistic mesh bound to stay on the
+    kernel."""
+    from unirenderer_tpu.ops.rasterize_pallas import _tile_hw
+    th, tw = _tile_hw(height, width,
+                      max_px=512 if height * width <= 512 * 512 else 1024)
+    n_tiles = (height // th) * (width // tw)
+    n_chunks = -(-n_tris // chunk)
+    return (height % th == 0 and width % tw == 0
+            and n_tiles * n_chunks * 4 <= 512 * 1024)
+
+
 def rasterize(pos_clip: jax.Array, tri: jax.Array, height: int, width: int,
-              chunk: int = 256,
-              prev_z: Optional[jax.Array] = None) -> RastOutput:
+              chunk: int = 256, prev_z: Optional[jax.Array] = None,
+              impl: str = "auto") -> RastOutput:
     """Rasterize triangles into an (height, width) grid.
 
     pos_clip: (V, 4) clip-space positions (x,y,z,w) — output of
               `xfm_points(v_pos, mvp)` (reference render.py:306).
     tri:      (T, 3) int32 vertex indices.
     prev_z:   optional (H, W) previous-layer depth for peeling.
+    impl:     'auto' routes to the Pallas tile kernel on TPU when the
+              size fits (tools/bench_raster.py A/B: 2.3-3.2x at 512^2,
+              2.4x at the 1024^2 SSAA resolution), else the JAX tiled
+              path; 'jax' / 'pallas' force.  Winner selection at shared-
+              edge/silhouette pixels may differ between the two by f32
+              rounding (the kernel evaluates edges in full f32 on the
+              VPU; the XLA matmul path uses TPU default matmul precision).
     """
+    if impl == "pallas" or (impl == "auto"
+                            and jax.default_backend() == "tpu"
+                            and _pallas_ok(tri.shape[0], height, width,
+                                           chunk)):
+        from unirenderer_tpu.ops.rasterize_pallas import rasterize_pallas
+        return rasterize_pallas(pos_clip, tri, height, width, chunk,
+                                prev_z=prev_z)
+    return _rasterize_jax(pos_clip, tri, height, width, chunk, prev_z)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _rasterize_jax(pos_clip: jax.Array, tri: jax.Array, height: int,
+                   width: int, chunk: int = 256,
+                   prev_z: Optional[jax.Array] = None) -> RastOutput:
+    """The portable XLA tiled-matmul path (CPU tests; TPU fallback)."""
     tri = _pad_tris(tri, chunk)
     n_chunks = tri.shape[0] // chunk
 

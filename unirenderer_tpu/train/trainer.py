@@ -131,6 +131,10 @@ class Trainer:
                                    jax.tree.map(np.asarray, self.state))
             if validation_fn and step % cfg.validation_every == 0:
                 validation_fn(self.state, step)
+        # final save (reference save_pretrained at train end,
+        # train/train.py:1484-1494) so short runs are restorable
+        if step > start and step % cfg.checkpoint_every != 0:
+            self.ckpt.save(step, jax.tree.map(np.asarray, self.state))
         self.ckpt.wait()
         self.timer.dump(os.path.join(self.workdir, "phases.jsonl"))
         return self.state
