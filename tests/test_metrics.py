@@ -74,3 +74,63 @@ def test_inception_feature_shape():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     # torchvision inception_v3 backbone ~ 21.8M conv/bn params
     assert 20e6 < n_params < 26e6
+
+
+# ---------------------------------------------------------------------------
+# LPIPS backbone (reference uses the lpips package, test_real.py:458-464)
+# ---------------------------------------------------------------------------
+
+def test_lpips_metric_properties():
+    """Identity -> 0; distance grows with perturbation; symmetric."""
+    import jax
+    import jax.numpy as jnp
+
+    from unirenderer_tpu.eval.lpips import make_lpips_fn
+
+    fn, _ = make_lpips_fn()
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    d0 = np.asarray(fn(a, a))
+    np.testing.assert_allclose(d0, 0.0, atol=1e-5)
+    small = a + 0.05 * jnp.asarray(
+        rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    big = a + 0.5 * jnp.asarray(
+        rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    ds = np.asarray(fn(a, small))
+    db = np.asarray(fn(a, big))
+    assert (ds > 0).all() and (db > ds).all()
+    np.testing.assert_allclose(np.asarray(fn(small, a)), ds, rtol=1e-4)
+
+
+def test_lpips_torch_port_mapping():
+    """Synthetic torch state dicts with the real torchvision/lpips key
+    layout port into the flax params and change the metric's output."""
+    import jax
+    import jax.numpy as jnp
+
+    from unirenderer_tpu.eval import lpips as L
+
+    rng = np.random.default_rng(1)
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    chans = [c for blk in L._VGG_BLOCKS for c in blk]
+    feats = {}
+    cin = 3
+    for ti, co in zip(conv_idx, chans):
+        feats[f"{ti}.weight"] = rng.standard_normal(
+            (co, cin, 3, 3)).astype(np.float32) * 0.05
+        feats[f"{ti}.bias"] = np.zeros((co,), np.float32)
+        cin = co
+    lins = {f"lin{i}.model.1.weight":
+            rng.uniform(0, 1, (1, c, 1, 1)).astype(np.float32)
+            for i, c in enumerate([64, 128, 256, 512, 512])}
+    params = L.lpips_params_from_torch(feats, lins)
+    fn, _ = L.make_lpips_fn(params=params)
+    a = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    d = np.asarray(fn(a, b))
+    assert np.isfinite(d).all() and (d > 0).all()
+    # ported conv kernel really landed (shape + value spot check)
+    k = params["params"]["vgg"]["conv0"]["kernel"]
+    assert k.shape == (3, 3, 3, 64)
+    np.testing.assert_allclose(np.asarray(k)[..., 0, 5],
+                               feats["0.weight"][5, 0], rtol=1e-6)

@@ -47,6 +47,12 @@ def main(argv=None):
                     help="synthetic sphere scenes (no data needed)")
     ap.add_argument("--fid", action="store_true",
                     help="also compute FID (needs n >= 8)")
+    ap.add_argument("--lpips", action="store_true",
+                    help="also compute LPIPS(fwd, GT)")
+    ap.add_argument("--lpips-weights", nargs=2,
+                    metavar=("VGG16_FEATURES.pt", "LPIPS_VGG.pt"),
+                    help="torch state dicts to calibrate LPIPS "
+                         "(see eval/lpips.py); random backbone otherwise")
     args = ap.parse_args(argv)
 
     import jax
@@ -138,6 +144,20 @@ def main(argv=None):
         "metal_rough_mae": float(np.mean(mr_mae)),
         "checkpoint": args.ckpt or "random-weights (harness check)",
     }
+    if args.lpips:
+        from unirenderer_tpu.eval import lpips as lpips_mod
+        params = None
+        if args.lpips_weights:
+            from unirenderer_tpu.models.surgery import load_torch_state_dict
+            params = lpips_mod.lpips_params_from_torch(
+                load_torch_state_dict(args.lpips_weights[0]),
+                load_torch_state_dict(args.lpips_weights[1]))
+        lp_fn, _ = lpips_mod.make_lpips_fn(params=params)
+        ds = [np.asarray(lp_fn(g * 2 - 1, f * 2 - 1))
+              for g, f in zip(gt_images, fwd_images)]
+        report["lpips_forward_vs_gt"] = float(np.concatenate(ds).mean())
+        report["lpips_calibrated"] = bool(args.lpips_weights)
+
     if args.fid and len(gt_images) * gt_images[0].shape[0] >= 8:
         from unirenderer_tpu.eval.inception import make_feature_fn
         feat = make_feature_fn(batch=4)
