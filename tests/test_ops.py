@@ -320,3 +320,52 @@ def test_sample_cubemap_seamless_accuracy_on_linear_field():
     err_c = np.abs(got_c - want).max()
     assert err_s < 0.02, err_s
     assert err_s < err_c
+
+
+# ---------------------------------------------------------------------------
+# Fused GroupNorm+SiLU kernel (ops/groupnorm.py; PERF round-2 agenda)
+# ---------------------------------------------------------------------------
+
+def test_fused_groupnorm_matches_flax():
+    import flax.linen as nn
+
+    from unirenderer_tpu.ops.groupnorm import (
+        _fused_fwd, groupnorm_silu_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 64)).astype(np.float32))
+    sc = jnp.asarray(rng.uniform(0.5, 1.5, 64).astype(np.float32))
+    bi = jnp.asarray(rng.uniform(-0.2, 0.2, 64).astype(np.float32))
+    p = {"params": {"scale": sc, "bias": bi}}
+    for silu in (True, False):
+        want = nn.GroupNorm(8, epsilon=1e-5).apply(p, x)
+        if silu:
+            want = nn.silu(want)
+        ref = groupnorm_silu_reference(x, sc, bi, 8, 1e-5, silu)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(want),
+                                   atol=1e-5)
+        kern = _fused_fwd(x, sc, bi, 8, 1e-5, silu, interpret=True)
+        np.testing.assert_allclose(np.asarray(kern), np.asarray(ref),
+                                   atol=1e-5)
+
+
+def test_fused_groupnorm_gradients():
+    """custom_vjp backward (reference recompute) matches direct autodiff."""
+    from unirenderer_tpu.ops.groupnorm import (
+        fused_groupnorm_silu, groupnorm_silu_reference,
+    )
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 16)).astype(np.float32))
+    sc = jnp.asarray(rng.uniform(0.5, 1.5, 16).astype(np.float32))
+    bi = jnp.asarray(rng.uniform(-0.2, 0.2, 16).astype(np.float32))
+
+    g1 = jax.grad(lambda *a: jnp.sum(
+        fused_groupnorm_silu(*a, 4, 1e-5, True) ** 2), argnums=(0, 1, 2))(
+        x, sc, bi)
+    g2 = jax.grad(lambda *a: jnp.sum(
+        groupnorm_silu_reference(*a, 4, 1e-5, True) ** 2),
+        argnums=(0, 1, 2))(x, sc, bi)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Training-step throughput on the real TPU chip (flagship 512^2 config,
+bf16 compute / f32 params, full dual-schedule step incl. VAE encodes,
+cycle pass and optimizer).  Validates the flash-attention BACKWARD path
+in context and records samples/sec/chip for training.
+
+Relay-honest timing: state threads through the chained steps (serialized
+by construction), fresh salted batches, np.asarray fence, phantom filter.
+
+Usage: python tools/bench_train.py [--batch 4] [--iters 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--no-flash", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if os.environ.get("UNIRENDER_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["UNIRENDER_PLATFORM"])
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unirenderer_tpu.core import config
+    from unirenderer_tpu.diffusion.schedule import DiffusionSchedule
+    from unirenderer_tpu.models.dual_stream import DualStreamModel
+    from unirenderer_tpu.models.vae import AutoencoderKL
+    from unirenderer_tpu.train.train_step import (
+        BATCH_KEYS, create_train_state, make_train_step,
+    )
+    from unirenderer_tpu.utils.fast_init import shape_init
+
+    base = config.flagship()
+    cfg = dataclasses.replace(
+        base, unet=dataclasses.replace(
+            base.unet, use_flash_attention=not args.no_flash))
+
+    dual = DualStreamModel(cfg.unet, jnp.bfloat16)
+    vae = AutoencoderKL(cfg.vae, jnp.bfloat16)
+    s = cfg.unet.sample_size
+    img = jnp.zeros((1, s, s, 4))
+    attr = jnp.zeros((1, s, s, cfg.unet.attr_channels))
+    tt = jnp.zeros((1,), jnp.int32)
+    ctx0 = jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim))
+    dual_params = shape_init(
+        lambda: dual.init(jax.random.key(0), img, attr, tt, tt, ctx0),
+        fill="scaled_normal")
+    vae_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        shape_init(lambda: vae.init(
+            jax.random.key(0),
+            jnp.zeros((1, cfg.vae.sample_size, cfg.vae.sample_size, 3)),
+            jax.random.key(1)), fill="scaled_normal"))
+
+    schedule = DiffusionSchedule.create(cfg.diffusion)
+    step_fn = jax.jit(make_train_step(cfg, dual, vae, schedule),
+                      donate_argnums=(0,))
+    state = create_train_state(cfg, dual_params)
+
+    b, hw = args.batch, cfg.vae.sample_size
+    ctx = jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim))
+
+    def make_batch():
+        salt = int(time.perf_counter_ns()) % (2 ** 31)
+        ks = jax.random.split(jax.random.key(salt), len(BATCH_KEYS))
+        return {k: 0.5 * jax.random.normal(ks[i], (b, hw, hw, 3))
+                for i, k in enumerate(BATCH_KEYS)}
+
+    rng = jax.random.key(0)
+    t0 = time.time()
+    state, metrics = step_fn(state, vae_params, ctx, make_batch(), rng)
+    np.asarray(metrics["loss"])
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(10):
+        batch = make_batch()
+        np.asarray(batch["image"][0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, metrics = step_fn(state, vae_params, ctx, batch, rng)
+        loss = float(np.asarray(metrics["loss"]))
+        ms = (time.perf_counter() - t0) * 1000.0 / args.iters
+        if ms > 10.0:
+            times.append(ms)
+        if len(times) >= 3:
+            break
+    ms = sorted(times)[len(times) // 2] if times else float("nan")
+    print(json.dumps({
+        "metric": "train_step_ms_512_flagship",
+        "value": round(ms, 1),
+        "samples_per_sec_per_chip": round(b / (ms / 1000.0), 3),
+        "batch": b, "flash": not args.no_flash,
+        "compile_s": round(compile_s, 1), "last_loss": round(loss, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,24 @@ class TimestepEmbedMLP(nn.Module):
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(h)
 
 
+
+class FusedGroupNorm(nn.Module):
+    """GroupNorm with optional fused SiLU — single-HBM-pass Pallas kernel
+    on TPU (ops/groupnorm.py), jnp reference elsewhere.  Param names match
+    nn.GroupNorm (scale/bias) so weight-port path maps are unchanged."""
+    num_groups: int
+    eps: float = 1e-5
+    silu: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from unirenderer_tpu.ops.groupnorm import fused_groupnorm_silu
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return fused_groupnorm_silu(x, scale, bias, self.num_groups,
+                                    self.eps, self.silu)
+
 class ResnetBlock(nn.Module):
     """SD ResnetBlock2D: GN->silu->conv3x3 [+temb] ->GN->silu->conv3x3 + skip."""
     out_channels: int
@@ -63,16 +81,16 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
-        h = nn.GroupNorm(self.num_groups, epsilon=self.eps, name="norm1")(x)
-        h = nn.silu(h)
+        h = FusedGroupNorm(self.num_groups, self.eps, silu=True,
+                           name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :].astype(h.dtype)
-        h = nn.GroupNorm(self.num_groups, epsilon=self.eps, name="norm2")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(self.num_groups, self.eps, silu=True,
+                           name="norm2")(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -239,7 +257,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x: jax.Array, ctx: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         res = x
-        x = nn.GroupNorm(self.num_groups, epsilon=1e-6, name="norm")(x)
+        x = FusedGroupNorm(self.num_groups, 1e-6, name="norm")(x)
         x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, c)
         for i in range(self.num_layers):
