@@ -129,3 +129,33 @@ def make_sharded_train_step(train_step, mesh: Mesh,
         out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
+
+
+def shard_pipeline(pipe, mesh: Mesh, axis_name: str = "data"):
+    """Prepare a UniRendererPipeline for multi-chip DP serving: replicate
+    all parameter stacks over the mesh (in place) and return a helper that
+    shards batched image/map inputs over `data` before a pipeline call.
+
+    Sampling then runs as ONE sharded XLA program per mode — batch split
+    across chips, collective-free (pure DP inference; the reference's
+    only serving story is a single GPU, eval/test_real.py).
+
+    Usage:
+        shard_call = shard_pipeline(pipe, make_mesh())
+        out = shard_call(pipe.mask2image_3mod_albedo, normal=..., ...)
+    """
+    pipe.dual_params = replicate(pipe.dual_params, mesh)
+    pipe.vae_params = replicate(pipe.vae_params, mesh)
+    pipe.text_params = replicate(pipe.text_params, mesh)
+    bs = batch_sharding(mesh, axis_name)
+    n = mesh.shape[axis_name]
+
+    def shard_call(method, **kwargs):
+        def put(v):
+            if isinstance(v, jax.Array) and v.ndim >= 1 \
+                    and v.shape[0] % n == 0:
+                return jax.device_put(v, bs)
+            return v
+        return method(**{k: put(v) for k, v in kwargs.items()})
+
+    return shard_call
