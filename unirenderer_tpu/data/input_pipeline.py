@@ -1,12 +1,11 @@
 """Async input pipeline (SURVEY §7.5 / BASELINE north star: 'a tf.data/
 Grain pipeline feeding sharded TPU hosts').
 
-Two backends:
-  * `tf_input_pipeline`: tf.data.from_generator over any indexable dataset
-    with host-sharding, shuffling, parallel map and prefetch — overlaps
-    the render-collate with the TPU train step.
-  * `ThreadedPrefetcher`: dependency-light fallback (threading + queue)
-    with identical semantics when tensorflow is unavailable.
+Implementation: `ThreadedPrefetcher` (background thread + bounded queue)
+with tf.data-equivalent semantics — shard -> shuffle -> map(collate) ->
+prefetch(depth).  A tf.data graph is deliberately NOT used: the heavy
+per-batch work is the JITTED on-device render collate, which must run in
+the JAX process (see `input_pipeline` design note below).
 
 Per-host sharding: each process sees indices i with
 i % process_count == process_index (SURVEY 2.5 'per-host data loading').
