@@ -192,3 +192,31 @@ def test_run_inverse_external_mask_cli(tmp_path):
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
     assert r.returncode == 0, r.stderr[-3000:]
     assert (tmp_path / "out" / "normal" / "0.png").exists()
+
+
+def test_new_tool_helps():
+    """Bench/data tools parse --help (no TPU needed)."""
+    for tool in ("bench_attention", "bench_raster", "bench_train",
+                 "make_synthetic_data", "eval_quality"):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", f"{tool}.py"),
+             "--help"], capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, (tool, r.stderr[-500:])
+
+
+def test_make_synthetic_data_layout(tmp_path):
+    env = dict(os.environ, UNIRENDER_PLATFORM="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "make_synthetic_data.py"),
+         "--out", str(tmp_path), "--n-mesh", "2", "--n-env", "1",
+         "--env-res", "16", "--env-min-res", "4", "--env-samples", "8",
+         "--sphere-res", "6"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import numpy as _np
+    z = _np.load(str(tmp_path / "meshes" / "m000.npz"))
+    assert z["v_pos"].shape[1] == 3 and "kd" in z
+    assert (tmp_path / "envs" / "e00" / "diffuse.npy").exists()
+    assert (tmp_path / "envs" / "e00" / "specular_0.npy").exists()
