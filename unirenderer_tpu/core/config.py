@@ -167,6 +167,11 @@ class DataConfig:
     # supersampling factor for the render collate — our substitute for the
     # reference's dr.antialias on every buffer (src/utils/render.py:287-294)
     ssaa: int = 2
+    # static mesh padding for batched rendering.  t_pad <= 32768 keeps the
+    # Pallas tile rasterizer on its fast path at the SSAA resolution
+    # (ops/rasterize._pallas_ok); raise for larger preprocessed meshes.
+    v_pad: int = 32768
+    t_pad: int = 32768
 
 
 @dataclasses.dataclass(frozen=True)

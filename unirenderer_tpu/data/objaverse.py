@@ -74,14 +74,15 @@ class ObjaverseData:
 
     def __init__(self, cfg: DataConfig, mesh_paths: Sequence[str],
                  env_dirs: Sequence[str], seed: int = 0,
-                 v_pad: int = 65536, t_pad: int = 131072,
+                 v_pad: Optional[int] = None, t_pad: Optional[int] = None,
                  test_mode: bool = False):
         self.cfg = cfg
         self.mesh_paths = list(mesh_paths)
         self.env_dirs = list(env_dirs)
         self.rng = random.Random(seed)
         self.grid = material_grid(cfg.material_grid)
-        self.v_pad, self.t_pad = v_pad, t_pad
+        self.v_pad = v_pad if v_pad is not None else cfg.v_pad
+        self.t_pad = t_pad if t_pad is not None else cfg.t_pad
         self.test_mode = test_mode
         self._env_cache: Dict[str, Dict[str, np.ndarray]] = {}
 
