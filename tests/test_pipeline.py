@@ -82,3 +82,33 @@ def test_vae_roundtrip_shapes(pipe):
     assert z.shape == (2, s // cfg.vae.downscale, s // cfg.vae.downscale, 4)
     back = pipe.decode_latents(z)
     assert back.shape == img.shape
+
+
+def test_inverse_unet_hoist_is_exact():
+    """The hoisted-UNet inverse path (unet raw taps computed once outside
+    the scan) must reproduce the per-step general path exactly — the taps
+    are loop-invariant by construction (recorded pre-residual from a clean
+    image latent at t_img=0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unirenderer_tpu.core import config
+    from unirenderer_tpu.pipelines import UniRendererPipeline
+
+    cfg = config.tiny()
+    pipe = UniRendererPipeline.create(cfg, jax.random.key(0),
+                                      dtype=jnp.float32)
+    s = cfg.vae.sample_size
+    img = jax.random.uniform(jax.random.key(1), (1, s, s, 3),
+                             minval=-1, maxval=1)
+    mask = jnp.ones((1, s, s, 3))
+    kwargs = dict(image=img, mask=mask, rng=jax.random.key(2), num_steps=3)
+
+    pipe.hoist_invariant = True
+    fast = pipe.image2mask_3mod_albedo(**kwargs)
+    pipe.hoist_invariant = False
+    slow = pipe.image2mask_3mod_albedo(**kwargs)
+    for k in ("normal", "albedo", "spec_light", "diff_light", "env",
+              "metallic", "roughness"):
+        np.testing.assert_allclose(np.asarray(fast[k]), np.asarray(slow[k]),
+                                   atol=1e-5, err_msg=k)

@@ -321,6 +321,33 @@ class DualStreamModel(nn.Module):
             deterministic)
         return img_pred
 
+    # In INVERSE sampling the image latent is clean and t_img = 0, and the
+    # attribute decoder consumes the UNet's RAW taps — which are recorded
+    # BEFORE the encoder residuals are added (reference controlnet.py:
+    # 1051-1112) and therefore do not depend on the per-step encoder state
+    # at all.  The UNet pass is EXACTLY loop-invariant; the reference
+    # re-runs all of it every step (pipeline.py:2670-2680).  These two
+    # methods let the sampler hoist it: XLA prunes the unused up blocks
+    # from `unet_raw_taps` (output dead-code elimination).
+
+    def unet_raw_taps(self, img_latent, t_img, ctx,
+                      deterministic: bool = True):
+        _, raw_down, raw_mid, _ = self.unet(
+            img_latent, t_img, ctx.astype(self.dtype), None, None,
+            deterministic)
+        return raw_down, raw_mid
+
+    def attr_streams_with_unet_taps(self, attr_latent, t_attr, ctx,
+                                    unet_raw_down, unet_raw_mid,
+                                    conditioning_scale: float = 1.0,
+                                    deterministic: bool = True):
+        ctx = ctx.astype(self.dtype)
+        _, _, raw_enc_down, raw_enc_mid = self.encoder(
+            attr_latent, t_attr, ctx, conditioning_scale, deterministic)
+        return self.decoder(
+            raw_enc_mid, raw_enc_down, t_attr, ctx, unet_raw_down,
+            unet_raw_mid, deterministic)
+
 
 def init_dual_stream(cfg: UNetConfig, rng: jax.Array, batch: int = 1,
                      ctx_len: int = 77, dtype=jnp.bfloat16):

@@ -175,15 +175,18 @@ class UniRendererPipeline:
         constants (measured: >30min compiles)."""
         return self._sample_core(
             self.dual_params, mode, img_init, attr_groups_init,
-            mask_latent, ctx, num_steps, guidance_scale, neg_ctx)
+            mask_latent, ctx, num_steps, guidance_scale, neg_ctx,
+            hoist=getattr(self, "hoist_invariant", True))
 
-    @functools.partial(jax.jit, static_argnums=(0, 2, 7, 8))
+    @functools.partial(jax.jit, static_argnums=(0, 2, 7, 8),
+                       static_argnames=("hoist",))
     def _sample_core(self, dual_params, mode: ModeSpec,
                      img_init: jax.Array,
                      attr_groups_init: jax.Array, mask_latent: jax.Array,
                      ctx: jax.Array, num_steps: int,
                      guidance_scale: float = 0.0,
-                     neg_ctx: Optional[jax.Array] = None):
+                     neg_ctx: Optional[jax.Array] = None,
+                     hoist: bool = True):
         """Run the scan sampler.
 
         img_init:       (B,h,w,4)  clean latent or noise (per mode)
@@ -246,6 +249,44 @@ class UniRendererPipeline:
                     c, u = jnp.split(img_pred, 2, axis=0)
                     img_pred = u + guidance_scale * (c - u)
                 return img_pred, attr_groups
+
+            return self._scan_sample(mode, img_init, attr_groups_init,
+                                     model_eval, timesteps, ts_next,
+                                     is_final, img_state, attr_state,
+                                     denoise_attr, g)
+
+        if not mode.denoise_img and hoist:
+            # Inverse rendering: the image latent is CLEAN and t_img = 0
+            # for the whole run, and the attribute decoder reads the
+            # UNet's RAW (pre-residual) taps — so the full UNet pass is
+            # EXACTLY loop-invariant.  Hoist it out of the scan (the
+            # reference re-runs unet all 20 steps, pipeline.py:2670-2680);
+            # per-step work drops to encoder + decoder.
+            nb = 2 * b if use_cfg else b
+            img_in0 = (jnp.concatenate([img_init, img_init])
+                       if use_cfg else img_init)
+            raw_u_down, raw_u_mid = self.dual.apply(
+                dual_params, img_in0, jnp.zeros((nb,), jnp.int32),
+                ctx_full, method="unet_raw_taps")
+
+            def model_eval(img_lat, attr_groups, t):
+                tb = jnp.full((nb,), t, jnp.int32)
+                head = [mask_latent] if mode.has_clean_head else []
+                attr_flat = jnp.concatenate(
+                    head + [attr_groups[i] for i in range(g)], axis=-1)
+                if use_cfg:
+                    attr_flat = jnp.concatenate([attr_flat, attr_flat])
+                attr_pred = self.dual.apply(
+                    dual_params, attr_flat, tb, ctx_full, raw_u_down,
+                    raw_u_mid, method="attr_streams_with_unet_taps")
+                if use_cfg:
+                    ca, ua = jnp.split(attr_pred, 2, axis=0)
+                    attr_pred = ua + guidance_scale * (ca - ua)
+                if mode.has_clean_head:
+                    attr_pred = attr_pred[..., LATENT_CHANNELS:]
+                attr_pred_groups = jnp.stack(
+                    jnp.split(attr_pred, g, axis=-1))
+                return img_lat, attr_pred_groups
 
             return self._scan_sample(mode, img_init, attr_groups_init,
                                      model_eval, timesteps, ts_next,
