@@ -123,6 +123,10 @@ class SamplerConfig:
     guidance_scale: float = 0.0
     ensemble: int = 5
     thresholding: bool = False
+    # encoder propagation (Faster Diffusion, arXiv 2312.09608): run the
+    # full UNet only every k-th forward-sampling step, decoder-only with
+    # cached raw taps in between.  1 = off (exact reference semantics).
+    encoder_reuse: int = 1
 
 
 # ---------------------------------------------------------------------------

@@ -83,33 +83,49 @@ class ImageUNet(_Trunk):
         down_residuals: Optional[Taps] = None,    # 12 zero-conv'd residuals
         mid_residual: Optional[jax.Array] = None,
         deterministic: bool = True,
+        cached_raw: Optional[Tuple[Taps, jax.Array]] = None,
     ) -> Tuple[jax.Array, Taps, jax.Array, Taps]:
+        """`cached_raw=(raw_down_taps, raw_mid)` skips the whole encoder
+        half (conv_in/down/mid) and reuses the given raw features —
+        encoder propagation across adjacent denoise steps (Faster
+        Diffusion, arXiv 2312.09608): adjacent-step encoder features are
+        nearly identical, so decoder-only steps trade a small
+        approximation for ~the encoder's FLOPs.  Opt-in via
+        SamplerConfig.encoder_reuse."""
         cfg = self.cfg
         temb = self.time_embed(t_img, "time_embedding")
         Down = _maybe_remat(DownBlock, cfg.remat, 4)
         Up = _maybe_remat(UpBlock, cfg.remat, 5)
 
-        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
-                    dtype=self.dtype, name="conv_in")(sample.astype(self.dtype))
-        down_taps: Taps = (x,)
-        for i, ch in enumerate(cfg.block_out_channels):
-            is_last = i == len(cfg.block_out_channels) - 1
-            x, taps = Down(
-                out_channels=ch, num_layers=cfg.layers_per_block,
-                has_attention=cfg.down_block_attn[i], num_heads=cfg.num_heads,
-                transformer_layers=cfg.transformer_layers,
-                num_groups=cfg.norm_num_groups, add_downsample=not is_last,
-                dropout=cfg.dropout, dtype=self.dtype,
-                use_flash=cfg.use_flash_attention,
-                name=f"down_{i}")(x, temb, ctx, deterministic)
-            down_taps += taps
-        raw_down_taps = down_taps
+        if cached_raw is None:
+            x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+                        dtype=self.dtype,
+                        name="conv_in")(sample.astype(self.dtype))
+            down_taps: Taps = (x,)
+            for i, ch in enumerate(cfg.block_out_channels):
+                is_last = i == len(cfg.block_out_channels) - 1
+                x, taps = Down(
+                    out_channels=ch, num_layers=cfg.layers_per_block,
+                    has_attention=cfg.down_block_attn[i],
+                    num_heads=cfg.num_heads,
+                    transformer_layers=cfg.transformer_layers,
+                    num_groups=cfg.norm_num_groups,
+                    add_downsample=not is_last,
+                    dropout=cfg.dropout, dtype=self.dtype,
+                    use_flash=cfg.use_flash_attention,
+                    name=f"down_{i}")(x, temb, ctx, deterministic)
+                down_taps += taps
+            raw_down_taps = down_taps
 
-        x = MidBlock(cfg.block_out_channels[-1], cfg.num_heads,
-                     cfg.transformer_layers, cfg.norm_num_groups,
-                     cfg.dropout, self.dtype, cfg.use_flash_attention,
-                     name="mid")(x, temb, ctx, deterministic)
-        raw_mid = x
+            x = MidBlock(cfg.block_out_channels[-1], cfg.num_heads,
+                         cfg.transformer_layers, cfg.norm_num_groups,
+                         cfg.dropout, self.dtype, cfg.use_flash_attention,
+                         name="mid")(x, temb, ctx, deterministic)
+            raw_mid = x
+        else:
+            raw_down_taps, raw_mid = cached_raw
+            down_taps = raw_down_taps
+            x = raw_mid
 
         if down_residuals is not None:
             down_taps = tuple(
@@ -319,6 +335,24 @@ class DualStreamModel(nn.Module):
         img_pred, _, _, _ = self.unet(
             img_latent, t_img, ctx.astype(self.dtype), ctrl_down, ctrl_mid,
             deterministic)
+        return img_pred
+
+    def image_stream_full_taps(self, img_latent, t_img, ctx,
+                               ctrl_down, ctrl_mid,
+                               deterministic: bool = True):
+        """Like image_stream_with_residuals but also returns the raw
+        down/mid taps for encoder-propagation caching."""
+        img_pred, raw_down, raw_mid, _ = self.unet(
+            img_latent, t_img, ctx.astype(self.dtype), ctrl_down, ctrl_mid,
+            deterministic)
+        return img_pred, raw_down, raw_mid
+
+    def image_stream_cached(self, t_img, ctx, ctrl_down, ctrl_mid,
+                            cached_raw, deterministic: bool = True):
+        """Decoder-only step from cached raw taps (encoder propagation)."""
+        img_pred, _, _, _ = self.unet(
+            None, t_img, ctx.astype(self.dtype), ctrl_down, ctrl_mid,
+            deterministic, cached_raw=cached_raw)
         return img_pred
 
     # In INVERSE sampling the image latent is clean and t_img = 0, and the

@@ -176,17 +176,18 @@ class UniRendererPipeline:
         return self._sample_core(
             self.dual_params, mode, img_init, attr_groups_init,
             mask_latent, ctx, num_steps, guidance_scale, neg_ctx,
-            hoist=getattr(self, "hoist_invariant", True))
+            hoist=getattr(self, "hoist_invariant", True),
+            encoder_reuse=max(1, int(self.cfg.sampler.encoder_reuse)))
 
     @functools.partial(jax.jit, static_argnums=(0, 2, 7, 8),
-                       static_argnames=("hoist",))
+                       static_argnames=("hoist", "encoder_reuse"))
     def _sample_core(self, dual_params, mode: ModeSpec,
                      img_init: jax.Array,
                      attr_groups_init: jax.Array, mask_latent: jax.Array,
                      ctx: jax.Array, num_steps: int,
                      guidance_scale: float = 0.0,
                      neg_ctx: Optional[jax.Array] = None,
-                     hoist: bool = True):
+                     hoist: bool = True, encoder_reuse: int = 1):
         """Run the scan sampler.
 
         img_init:       (B,h,w,4)  clean latent or noise (per mode)
@@ -237,6 +238,62 @@ class UniRendererPipeline:
             ctrl_down, ctrl_mid = self.dual.apply(
                 dual_params, attr_flat, t_attr0, ctx_full,
                 method="encode_attr")
+
+            k_reuse = encoder_reuse
+            if k_reuse > 1:
+                # Encoder propagation (Faster Diffusion, arXiv 2312.09608):
+                # adjacent-step UNet encoder features are nearly identical,
+                # so only every k-th step (and the final step) runs the
+                # full UNet; in-between steps reuse the cached raw
+                # down/mid taps and run the decoder half only.
+                def expand(x):
+                    return (jnp.concatenate([x, x]) if use_cfg else x)
+
+                def combine(pred):
+                    if use_cfg:
+                        c, u = jnp.split(pred, 2, axis=0)
+                        return u + guidance_scale * (c - u)
+                    return pred
+
+                t0b = jnp.zeros((nb,), jnp.int32)
+                cache0 = jax.tree.map(
+                    lambda sd: jnp.zeros(sd.shape, sd.dtype),
+                    jax.eval_shape(
+                        lambda x: self.dual.apply(
+                            dual_params, x, t0b, ctx_full, ctrl_down,
+                            ctrl_mid, method="image_stream_full_taps")[1:],
+                        expand(img_init)))
+                run_full = (jnp.arange(num_steps) % k_reuse == 0) | is_final
+
+                def body(carry, scan_in):
+                    img_lat, st, cache = carry
+                    t, tn, fin, full = scan_in
+                    tb = jnp.full((nb,), t, jnp.int32)
+
+                    def do_full(c):
+                        pred, rd, rm = self.dual.apply(
+                            dual_params, expand(img_lat), tb, ctx_full,
+                            ctrl_down, ctrl_mid,
+                            method="image_stream_full_taps")
+                        return pred, (rd, rm)
+
+                    def do_reuse(c):
+                        pred = self.dual.apply(
+                            dual_params, tb, ctx_full, ctrl_down, ctrl_mid,
+                            c, method="image_stream_cached")
+                        return pred, c
+
+                    img_pred, cache = jax.lax.cond(
+                        full, do_full, do_reuse, cache)
+                    img_pred = combine(img_pred)
+                    st, img_next = unipc_step(
+                        schedule, st, img_lat, img_pred, t, tn, fin)
+                    return (img_next, st, cache), None
+
+                (img_lat, _, _), _ = jax.lax.scan(
+                    body, (img_init, img_state, cache0),
+                    (timesteps, ts_next, is_final, run_full))
+                return img_lat, attr_groups_init
 
             def model_eval(img_lat, attr_groups, t):
                 tb = jnp.full((nb,), t, jnp.int32)
