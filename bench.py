@@ -57,7 +57,10 @@ def main():
         unet=dataclasses.replace(
             base.unet,
             use_flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
-            remat=False))
+            remat=False),
+        sampler=dataclasses.replace(
+            base.sampler,
+            encoder_reuse=int(os.environ.get("BENCH_ENC_REUSE", "1"))))
 
     dual = DualStreamModel(cfg.unet, jnp.bfloat16)
     vae = AutoencoderKL(cfg.vae, jnp.bfloat16)
@@ -114,19 +117,40 @@ def main():
             **maps, metallic=metallic, roughness=roughness, rng=r,
             num_steps=NUM_STEPS)
 
+    import numpy as np
+
     t0 = time.time()
     out = run(rng)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
+    np.asarray(out[0, 0, 0])            # host-transfer fence (PERF.md:
+    compile_s = time.time() - t0        # block_until_ready can lie)
 
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
         out = run(jax.random.fold_in(rng, i))
-    jax.block_until_ready(out)
+    np.asarray(out[0, 0, 0])
     dt = (time.perf_counter() - t0) / iters
 
     images_per_sec = b / dt
+
+    # inverse path (production real_image2mask, hoisted-UNet scan)
+    inv_img = 0.1 * jax.random.normal(jax.random.key(salt + 2),
+                                      (b, hw, hw, 3))
+    inv_mask = jnp.ones((b, hw, hw, 3))
+
+    def run_inv(r):
+        return pipe.real_image2mask_3mod_albedo(
+            image=inv_img, mask=inv_mask, rng=r, num_steps=NUM_STEPS,
+            ensemble=1)["normal"]
+
+    out = run_inv(rng)
+    np.asarray(out[0, 0, 0])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run_inv(jax.random.fold_in(rng, 7 + i))
+    np.asarray(out[0, 0, 0])
+    dt_inv = (time.perf_counter() - t0) / iters
+    inverse_images_per_sec = b / dt_inv
     print(json.dumps({
         "metric": "dual_stream_sample_images_per_sec_per_chip_512",
         "value": round(images_per_sec, 4),
@@ -137,6 +161,8 @@ def main():
             "batch": b, "steps": NUM_STEPS,
             "sec_per_batch": round(dt, 4),
             "sec_per_denoise_step": round(dt / NUM_STEPS, 5),
+            "inverse_images_per_sec": round(inverse_images_per_sec, 4),
+            "encoder_reuse": cfg.sampler.encoder_reuse,
             "init_s": round(init_s, 1),
             "compile_s": round(compile_s, 1),
         },
