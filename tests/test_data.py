@@ -160,3 +160,26 @@ def test_collate_render_ssaa_antialiases_edges(tmp_path):
     assert frac > 0                 # fractional coverage exists at edges
     # coverage is preserved overall
     assert abs((ms > 0).mean() - (mh > 0).mean()) < 0.1
+
+
+def test_collate_render_uses_kd_texture(tmp_path):
+    """A mesh with a map_Kd image renders the TEXTURE's colors into the
+    albedo buffer (reference Material kd Texture2D path,
+    src/utils/material.py:49-110), not the constant kd."""
+    from PIL import Image
+    ds = _make_dataset(tmp_path)
+    # write a solid red texture next to the mesh and point kd_map at it
+    tex_path = tmp_path / "meshes" / "red.png"
+    Image.fromarray(
+        np.full((8, 8, 3), [255, 0, 0], np.uint8)).save(str(tex_path))
+    m0 = dict(np.load(str(tmp_path / "meshes" / "m0.npz")))
+    np.savez(str(tmp_path / "meshes" / "m0.npz"), **m0,
+             kd_map=np.asarray(str(tex_path)))
+    item = ds[0]
+    batch = collate_render([item], resolution=32, ssaa=1)
+    alb = (np.asarray(batch["albedo"]) + 1) / 2
+    mask = (np.asarray(batch["mask"]) + 1) / 2 > 0.5
+    red = alb[..., 0][mask[..., 0]]
+    green = alb[..., 1][mask[..., 0]]
+    assert red.mean() > 0.5          # red channel dominates
+    assert green.mean() < 0.1

@@ -179,12 +179,15 @@ def _synthetic_batches(cfg, n, res):
     from unirenderer_tpu.render.mesh import make_sphere
 
     sphere = make_sphere(12)
+    kd = np.asarray([0.6, 0.5, 0.4], np.float32)
     mesh = {
         "v_pos": np.asarray(sphere.v_pos), "t_idx": np.asarray(
             sphere.t_pos_idx),
         "v_nrm": np.asarray(sphere.v_nrm), "v_tex": np.asarray(sphere.v_tex),
         "v_tng": np.asarray(sphere.v_tng),
-        "kd": np.asarray([0.6, 0.5, 0.4], np.float32),
+        "kd": kd,
+        "kd_tex": np.broadcast_to(kd, (cfg.data.texture_res,
+                                       cfg.data.texture_res, 3)).copy(),
     }
     env = {"specular_0": np.ones((6, 8, 8, 3), np.float32),
            "specular_1": np.ones((6, 4, 4, 3), np.float32),

@@ -176,6 +176,9 @@ class DataConfig:
     # (ops/rasterize._pallas_ok); raise for larger preprocessed meshes.
     v_pad: int = 32768
     t_pad: int = 32768
+    # static albedo-texture resolution for batched rendering (OBJ map_Kd
+    # images are resized to this; constant-kd meshes get a tiled texture)
+    texture_res: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

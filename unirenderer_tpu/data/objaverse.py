@@ -112,9 +112,31 @@ class ObjaverseData:
                 idx = self.rng.randrange(len(self.mesh_paths))
         raise RuntimeError("too many unreadable samples")
 
+    def _load_kd_texture(self, mesh: Dict, mesh_path: str) -> np.ndarray:
+        """(R, R, 3) linear-space albedo texture: the mesh's map_Kd image
+        (reference Material/Texture2D kd, src/utils/material.py:49-110;
+        stored in sRGB, converted to linear like nvdiffrec) or the
+        constant kd color tiled."""
+        r = self.cfg.texture_res
+        path = str(mesh.get("kd_map", ""))
+        if path and not os.path.isabs(path):
+            path = os.path.join(os.path.dirname(mesh_path), path)
+        if path and os.path.exists(path):
+            from PIL import Image
+            img = np.asarray(Image.open(path).convert("RGB").resize(
+                (r, r), Image.BILINEAR), np.float32) / 255.0
+            lin = np.where(img > 0.04045,
+                           ((img + 0.055) / 1.055) ** 2.4, img / 12.92)
+            return lin.astype(np.float32)
+        kd = np.asarray(mesh.get("kd",
+                                 np.array([0.8, 0.8, 0.8], np.float32)))
+        return np.broadcast_to(kd.astype(np.float32), (r, r, 3)).copy()
+
     def _get(self, idx: int) -> Dict:
-        mesh = pad_mesh(load_mesh_npz(self.mesh_paths[idx]),
-                        self.v_pad, self.t_pad)
+        raw = load_mesh_npz(self.mesh_paths[idx])
+        kd_tex = self._load_kd_texture(raw, self.mesh_paths[idx])
+        mesh = pad_mesh(raw, self.v_pad, self.t_pad)
+        mesh["kd_tex"] = kd_tex
         env_dir = self.rng.choice(self.env_dirs)
         env = self._load_env(env_dir)
         metallic, roughness = self.rng.choice(self.grid)
@@ -143,18 +165,18 @@ class ObjaverseDataTest(ObjaverseData):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _render_batch(resolution: int, v_pos, t_idx, v_nrm, v_tng, mvps,
-                  camposes, spec_mips, diffuse, metallics, roughnesses,
-                  kds, fg_lut):
+def _render_batch(resolution: int, v_pos, t_idx, v_nrm, v_tng, v_tex,
+                  mvps, camposes, spec_mips, diffuse, metallics,
+                  roughnesses, kds, fg_lut):
     """vmapped render over the batch; all leading dims = B."""
-    def one(v, t, n, tg, mvp, cp, spec, diff, met, rgh, kd):
+    def one(v, t, n, tg, tc, mvp, cp, spec, diff, met, rgh, kd_tex):
         env = EnvLight(specular=tuple(spec), diffuse=diff)
         mesh = Mesh(v_pos=v, t_pos_idx=t, v_nrm=n, t_nrm_idx=t,
-                    v_tng=tg, t_tng_idx=t)
+                    v_tng=tg, t_tng_idx=t, v_tex=tc, t_tex_idx=t)
         return render_mesh(mesh, mvp, cp, env, met, rgh, resolution,
-                           kd_const=kd, fg_lut=fg_lut)
+                           kd_texture=kd_tex, fg_lut=fg_lut)
 
-    return jax.vmap(one)(v_pos, t_idx, v_nrm, v_tng, mvps, camposes,
+    return jax.vmap(one)(v_pos, t_idx, v_nrm, v_tng, v_tex, mvps, camposes,
                          spec_mips, diffuse, metallics, roughnesses, kds)
 
 
@@ -181,6 +203,7 @@ def collate_render(items: List[Dict], resolution: int = 512,
         np.stack([np.asarray(i["mesh"][key]) for i in items]))
     v_pos, t_idx = stack("v_pos"), stack("t_idx")
     v_nrm, v_tng = stack("v_nrm"), stack("v_tng")
+    v_tex = stack("v_tex")
 
     mvps, camposes = [], []
     for i in items:
@@ -197,14 +220,12 @@ def collate_render(items: List[Dict], resolution: int = 512,
     diffuse = jnp.asarray(np.stack([i["env"]["diffuse"] for i in items]))
     metallics = jnp.asarray([i["metallic"] for i in items], jnp.float32)
     roughnesses = jnp.asarray([i["roughness"] for i in items], jnp.float32)
-    kds = jnp.asarray(np.stack(
-        [i["mesh"].get("kd", np.array([0.8, 0.8, 0.8], np.float32))
-         for i in items]))
+    kds = jnp.asarray(np.stack([i["mesh"]["kd_tex"] for i in items]))
     fg = jnp.asarray(tex.fg_lut()[0])
 
     bufs = _render_batch(resolution * ssaa, v_pos, t_idx, v_nrm, v_tng,
-                         mvps, camposes, spec_mips, diffuse, metallics,
-                         roughnesses, kds, fg)
+                         v_tex, mvps, camposes, spec_mips, diffuse,
+                         metallics, roughnesses, kds, fg)
 
     def down(x):
         return ssaa_downsample(x, ssaa) if ssaa > 1 else x
