@@ -39,10 +39,16 @@ def main(argv=None):
     ap.add_argument("--env-dir")
     ap.add_argument("--out", default="quality_report.json")
     ap.add_argument("--ckpt")
+    ap.add_argument("--vae-ckpt",
+                    help="VAE from tools/train_vae.py "
+                         "(<workdir>/vae_checkpoints)")
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--ensemble", type=int, default=1)
-    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--config", choices=("tiny", "small", "flagship"),
+                    default="flagship")
+    ap.add_argument("--tiny", action="store_true",
+                    help="alias for --config tiny")
     ap.add_argument("--synthetic", action="store_true",
                     help="synthetic sphere scenes (no data needed)")
     ap.add_argument("--fid", action="store_true",
@@ -67,11 +73,13 @@ def main(argv=None):
     from unirenderer_tpu.eval import metrics as M
     from unirenderer_tpu.pipelines import UniRendererPipeline
 
-    cfg = config.tiny() if args.tiny else config.flagship()
+    name = "tiny" if args.tiny else args.config
+    cfg = getattr(config, name)()
     res = cfg.vae.sample_size
     pipe = UniRendererPipeline.create(cfg, jax.random.key(0),
-                                      dtype=jnp.float32 if args.tiny
-                                      else jnp.bfloat16)
+                                      dtype=jnp.bfloat16
+                                      if name == "flagship"
+                                      else jnp.float32)
     if args.ckpt:
         from unirenderer_tpu.core.checkpoint import CheckpointManager
         cm = CheckpointManager(args.ckpt)
@@ -79,6 +87,13 @@ def main(argv=None):
         if restored is not None:
             pipe.dual_params = jax.tree.map(jnp.asarray, restored)
             print(f"[eval] loaded checkpoint step {cm.latest_step()}")
+    if args.vae_ckpt:
+        from unirenderer_tpu.core.checkpoint import CheckpointManager
+        vcm = CheckpointManager(args.vae_ckpt)
+        vae_p = vcm.restore_params()
+        assert vae_p is not None, f"no checkpoint under {args.vae_ckpt}"
+        pipe.vae_params = jax.tree.map(jnp.asarray, vae_p)
+        print(f"[eval] loaded VAE step {vcm.latest_step()}")
 
     # ---- build held-out batches ----
     if args.synthetic:

@@ -34,7 +34,13 @@ def main(argv=None):
     ap.add_argument("--lr", type=float)
     ap.add_argument("--fsdp", action="store_true")
     ap.add_argument("--synthetic", action="store_true")
-    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--config", choices=("tiny", "small", "flagship"),
+                    default="flagship")
+    ap.add_argument("--tiny", action="store_true",
+                    help="alias for --config tiny")
+    ap.add_argument("--vae-ckpt",
+                    help="frozen VAE from tools/train_vae.py "
+                         "(<workdir>/vae_checkpoints)")
     ap.add_argument("--random-camera", action="store_true")
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--sd-unet", help="diffusers UNet state_dict (.bin)")
@@ -50,7 +56,8 @@ def main(argv=None):
     from unirenderer_tpu.core import config
     from unirenderer_tpu.train.trainer import Trainer, synthetic_batches
 
-    cfg = config.tiny() if args.tiny else config.flagship()
+    name = "tiny" if args.tiny else args.config
+    cfg = getattr(config, name)()
     tr_over = {}
     if args.batch_per_device:
         tr_over["batch_size_per_device"] = args.batch_per_device
@@ -64,7 +71,17 @@ def main(argv=None):
             cfg, data=dataclasses.replace(cfg.data, random_camera=True))
 
     trainer = Trainer(cfg, args.workdir, fsdp=args.fsdp,
-                      dtype=jnp.float32 if args.tiny else jnp.bfloat16)
+                      dtype=jnp.bfloat16 if name == "flagship"
+                      else jnp.float32)
+
+    if args.vae_ckpt:
+        from unirenderer_tpu.core.checkpoint import CheckpointManager
+        vcm = CheckpointManager(args.vae_ckpt)
+        vae_p = vcm.restore_params()
+        assert vae_p is not None, f"no checkpoint under {args.vae_ckpt}"
+        trainer.install_vae(jax.tree.map(jnp.asarray, vae_p))
+        print(f"[train] frozen VAE from {args.vae_ckpt} "
+              f"step {vcm.latest_step()}")
 
     # optional SD weight port (reference from_pretrained + surgery path)
     if args.sd_unet:

@@ -244,6 +244,42 @@ def legacy12() -> SystemConfig:
     return SystemConfig(unet=UNetConfig(attr_channels=12))
 
 
+def small() -> SystemConfig:
+    """Quality-benchmark scale: 64^2 images, 16^2 latents.  Same topology
+    as flagship (3-level UNet w/ cross-attention, 3-block VAE) at widths a
+    single v5e chip trains from scratch in minutes — the config behind
+    QUALITY_r*.json (BASELINE.md harness) when no SD port is available."""
+    return SystemConfig(
+        unet=UNetConfig(
+            block_out_channels=(128, 256, 512),
+            layers_per_block=1,
+            down_block_attn=(True, True, False),
+            num_heads=4,
+            cross_attention_dim=256,
+            norm_num_groups=16,
+            sample_size=16,
+            remat=False,
+        ),
+        vae=VAEConfig(
+            block_out_channels=(32, 64, 128),
+            layers_per_block=1,
+            norm_num_groups=8,
+            sample_size=64,
+        ),
+        text=TextEncoderConfig(
+            vocab_size=512, hidden_size=256, num_layers=2, num_heads=4,
+            max_length=16, intermediate_size=512,
+        ),
+        sampler=SamplerConfig(ensemble=1),
+        render=RenderConfig(resolution=64, env_res=32, env_min_res=8,
+                            max_mip_level=2, raster_chunk=256),
+        data=DataConfig(resolution=64, texture_res=64,
+                        v_pad=4096, t_pad=8192, random_camera=True),
+        train=TrainConfig(batch_size_per_device=8, learning_rate=1e-4,
+                          checkpoint_every=1000, validation_every=1000),
+    )
+
+
 def tiny(latent_size: int = 8) -> SystemConfig:
     """A minute system for tests: same topology, toy widths."""
     return SystemConfig(

@@ -90,6 +90,13 @@ class Trainer:
             self.ctx = self._blank_ctx(text_params)
             self.ctx_r = pmesh.replicate(self.ctx, self.mesh)
 
+    def install_vae(self, vae_params) -> None:
+        """Install pre-trained VAE params (tools/train_vae.py output) —
+        the zero-egress replacement for the reference's downloaded
+        AutoencoderKL (train/train.py:954-961); stays frozen."""
+        self.vae_params = vae_params
+        self.vae_params_r = pmesh.replicate(vae_params, self.mesh)
+
     # ------------------------------------------------------------------
     def maybe_resume(self) -> int:
         """--resume_from_checkpoint latest semantics
