@@ -46,13 +46,20 @@ def _kernel(x_ref, s_ref, b_ref, o_ref, *, groups: int, eps: float,
     cg = c // groups
     s1 = jnp.sum(x, axis=0, keepdims=True)      # (1, C)
     s2 = jnp.sum(x * x, axis=0, keepdims=True)
-    g1 = jnp.sum(s1.reshape(groups, cg), axis=1, keepdims=True)   # (G,1)
-    g2 = jnp.sum(s2.reshape(groups, cg), axis=1, keepdims=True)
+    # channel->group aggregation as a one-hot matmul: Mosaic has no
+    # (1,C)->(G,C/G) vector shape-cast for narrow C (e.g. the small/tiny
+    # VAE configs), and the MXU eats these trivially at any width.
+    ch_g = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    m = (ch_g == gr).astype(jnp.float32)        # (C, G) one-hot
+    hi = jax.lax.Precision.HIGHEST              # stats must stay f32:
+    g1 = jnp.dot(s1, m, precision=hi)           # (1, G); default MXU
+    g2 = jnp.dot(s2, m, precision=hi)           # precision is bf16-ish
     mean = g1 / n
     var = g2 / n - mean * mean
-    inv = jax.lax.rsqrt(var + eps)              # (G, 1)
-    mean_c = jnp.broadcast_to(mean, (groups, cg)).reshape(1, c)
-    inv_c = jnp.broadcast_to(inv, (groups, cg)).reshape(1, c)
+    inv = jax.lax.rsqrt(var + eps)              # (1, G)
+    mean_c = jnp.dot(mean, m.T, precision=hi)   # (1, C) per-channel stats
+    inv_c = jnp.dot(inv, m.T, precision=hi)
     y = (x - mean_c) * inv_c * s_ref[:] + b_ref[:]
     if silu:
         y = y * jax.nn.sigmoid(y)

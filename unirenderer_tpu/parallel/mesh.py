@@ -57,6 +57,19 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def make_mesh_2d(dp: int, mp: int,
+                 axis_names: Sequence[str] = ("data", "model")) -> Mesh:
+    """2-D (data x model) mesh for hybrid DP x tensor-parallel runs.
+
+    Devices are laid out model-axis-minor so each TP group sits on
+    adjacent chips (one ICI hop for the per-layer collectives; DP's
+    gradient psum crosses the slower outer dimension once per step)."""
+    devs = jax.devices()
+    assert dp * mp <= len(devs), (dp, mp, len(devs))
+    grid = np.asarray(devs[:dp * mp]).reshape(dp, mp)
+    return Mesh(grid, tuple(axis_names))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim across the data axis."""
     return NamedSharding(mesh, P(axis_name))
@@ -104,6 +117,77 @@ def fsdp_param_sharding(params: Any, mesh: Mesh, axis_name: str = "data",
 
 def apply_sharding(tree: Any, shardings: Any) -> Any:
     return jax.tree.map(jax.device_put, tree, shardings)
+
+
+# -- tensor parallelism ------------------------------------------------------
+#
+# Megatron-style TP for the dual-stream transformer blocks (PERF.md: the 16
+# transformer blocks are 83% of step time).  Column-parallel qkv / GEGLU-in
+# (output dim sharded over `model`), row-parallel out-projections (input dim
+# sharded) — GSPMD propagates the activation shardings and inserts the one
+# all-reduce per block that hand-written Megatron does, riding ICI.  Convs,
+# norms and embeddings stay replicated (channel-sharded convs would force
+# cross-chip GroupNorm stats for no FLOP win at SD widths).
+
+_TP_COL = ("to_q", "to_k", "to_v")        # + GEGLU "proj": out-dim sharded
+_TP_ROW = ("to_out",)                     # + GEGLU "out": in-dim sharded
+
+
+def _path_names(path) -> list:
+    names = []
+    for p in path:
+        if hasattr(p, "key"):
+            names.append(str(p.key))
+        elif hasattr(p, "name"):
+            names.append(str(p.name))
+    return names
+
+
+def tp_param_sharding(params: Any, mesh: Mesh,
+                      model_axis: str = "model",
+                      data_axis: Optional[str] = None) -> Any:
+    """Sharding tree for hybrid TP(+optional FSDP-over-data) params.
+
+    Works on any tree whose key paths contain the flax module names
+    (params themselves, or optimizer mu/nu mirrors)."""
+    n = mesh.shape[model_axis]
+
+    def rule(path, x):
+        names = _path_names(path)
+        if getattr(x, "ndim", 0) >= 2 and names and names[-1] == "kernel":
+            parent = names[-2] if len(names) >= 2 else ""
+            grandp = names[-3] if len(names) >= 3 else ""
+            col = parent in _TP_COL or (parent == "proj"
+                                        and "ff" in (grandp, parent))
+            row = parent in _TP_ROW or (parent == "out" and grandp == "ff")
+            if col and x.shape[-1] % n == 0:
+                spec = [None] * x.ndim
+                spec[-1] = model_axis
+                return NamedSharding(mesh, P(*spec))
+            if row and x.shape[0] % n == 0:
+                spec = [None] * x.ndim
+                spec[0] = model_axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def make_tp_train_step(train_step, mesh: Mesh, state: Any,
+                       data_axis: str = "data", model_axis: str = "model"):
+    """jit the train step over a 2-D (data, model) mesh: batch sharded on
+    `data`, params/opt-state TP-sharded on `model`, gradient mean psum over
+    `data` inserted by sharding propagation — hybrid DP x TP in one
+    compiled program, zero hand-written collectives."""
+    repl = NamedSharding(mesh, P())
+    bs = NamedSharding(mesh, P(data_axis))
+    state_sh = tp_param_sharding(state, mesh, model_axis)
+    return jax.jit(
+        train_step,
+        in_shardings=(state_sh, repl, repl, bs, repl),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    ), state_sh
 
 
 def make_sharded_train_step(train_step, mesh: Mesh,
