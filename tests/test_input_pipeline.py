@@ -90,3 +90,33 @@ def test_relight_smoke():
                        env_res=16, env_samples=8)
     assert out.shape == (1, s, s, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cached_batch_source_pools_and_persists(tmp_path):
+    """Pool renders once, persists npz shards, reloads from disk."""
+    import numpy as np
+
+    from unirenderer_tpu.data.input_pipeline import cached_batch_source
+
+    calls = []
+
+    def gen():
+        i = 0
+        while True:
+            calls.append(i)
+            yield {"image": np.full((2, 4, 4, 3), float(i))}
+            i += 1
+
+    d = str(tmp_path / "pool")
+    src = cached_batch_source(gen(), 3, cache_dir=d, seed=0)
+    got = [next(src) for _ in range(10)]
+    assert len(calls) == 3                      # rendered exactly pool_size
+    vals = {float(b["image"][0, 0, 0, 0]) for b in got}
+    assert vals <= {0.0, 1.0, 2.0} and len(vals) > 1
+
+    # second run hits the disk cache: no generator calls at all
+    calls.clear()
+    src2 = cached_batch_source(gen(), 3, cache_dir=d, seed=1)
+    b = next(src2)
+    assert calls == []
+    assert b["image"].shape == (2, 4, 4, 3)

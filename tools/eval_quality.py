@@ -62,8 +62,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
-    if os.environ.get("UNIRENDER_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["UNIRENDER_PLATFORM"])
+
+    from unirenderer_tpu.utils.runtime import setup_runtime
+    setup_runtime()
     import jax.numpy as jnp
 
     from unirenderer_tpu.core import config

@@ -42,15 +42,23 @@ def main(argv=None):
                     help="frozen VAE from tools/train_vae.py "
                          "(<workdir>/vae_checkpoints)")
     ap.add_argument("--random-camera", action="store_true")
-    ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--resolution", type=int,
+                    help="render resolution (default: config's)")
+    ap.add_argument("--cache-batches", type=int,
+                    help="pre-render N batches once and train from the "
+                         "host-RAM pool (fast path for finite synthetic "
+                         "distributions)")
+    ap.add_argument("--cache-dir",
+                    help="persist/reuse the pre-rendered pool here")
     ap.add_argument("--sd-unet", help="diffusers UNet state_dict (.bin)")
     ap.add_argument("--sd-vae", help="diffusers VAE state_dict (.bin)")
     ap.add_argument("--sd-text", help="CLIP text state_dict (.bin)")
     args = ap.parse_args(argv)
 
     import jax
-    if os.environ.get("UNIRENDER_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["UNIRENDER_PLATFORM"])
+
+    from unirenderer_tpu.utils.runtime import setup_runtime
+    setup_runtime()
     import jax.numpy as jnp
 
     from unirenderer_tpu.core import config
@@ -118,9 +126,15 @@ def main(argv=None):
         batches = input_pipeline(
             ds, global_batch,
             collate=lambda items: collate_render(
-                items, resolution=args.resolution, ssaa=cfg.data.ssaa),
+                items, resolution=args.resolution or cfg.data.resolution,
+                ssaa=cfg.data.ssaa),
             process_index=jax.process_index(),
             process_count=jax.process_count())
+
+    if args.cache_batches:
+        from unirenderer_tpu.data.input_pipeline import cached_batch_source
+        batches = cached_batch_source(batches, args.cache_batches,
+                                      cache_dir=args.cache_dir)
 
     state = trainer.train(batches, max_steps=args.steps)
     print(f"finished at step {int(jax.device_get(state.step))}; "

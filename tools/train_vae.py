@@ -37,11 +37,18 @@ def main(argv=None):
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--resolution", type=int)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cache-batches", type=int,
+                    help="pre-render N batches once and train from the "
+                         "host-RAM pool (fast path for finite synthetic "
+                         "distributions)")
+    ap.add_argument("--cache-dir",
+                    help="persist/reuse the pre-rendered pool here")
     args = ap.parse_args(argv)
 
     import jax
-    if os.environ.get("UNIRENDER_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["UNIRENDER_PLATFORM"])
+
+    from unirenderer_tpu.utils.runtime import setup_runtime
+    setup_runtime()
     import jax.numpy as jnp
 
     from unirenderer_tpu.core import config
@@ -70,6 +77,12 @@ def main(argv=None):
                 items, resolution=res, ssaa=cfg.data.ssaa),
             process_index=jax.process_index(),
             process_count=jax.process_count())
+
+    if args.cache_batches:
+        from unirenderer_tpu.data.input_pipeline import cached_batch_source
+        batches = cached_batch_source(batches, args.cache_batches,
+                                      cache_dir=args.cache_dir,
+                                      seed=args.seed)
 
     state = train_vae(cfg, batches, args.workdir, args.steps, lr=args.lr,
                       kl_weight=args.kl_weight, seed=args.seed,

@@ -95,3 +95,47 @@ def input_pipeline(dataset, batch_size: int,
 
     return ThreadedPrefetcher(make_batch, num_batches=num_batches,
                               depth=prefetch)
+
+
+def cached_batch_source(batches: Iterator, pool_size: int,
+                        cache_dir: Optional[str] = None,
+                        seed: int = 0) -> Iterator:
+    """Materialise `pool_size` collated batches ONCE (to host RAM, and to
+    `cache_dir` as .npz shards when given), then yield shuffled batches
+    from the pool forever.
+
+    Rationale: with a finite synthetic distribution (quality-benchmark
+    training, tools/make_synthetic_data.py) the on-the-fly render collate
+    re-pays per-dispatch relay latency every step for scenes it has
+    already rendered; a pre-rendered pool makes training device-bound.
+    A populated cache_dir is reused across runs (e.g. the VAE and
+    diffusion phases of the same quality run share one render pass).
+    """
+    import glob
+    import os
+
+    import numpy as np
+
+    pool = []
+    files = sorted(glob.glob(os.path.join(cache_dir, "b*.npz"))) \
+        if cache_dir else []
+    if len(files) >= pool_size:
+        for f in files[:pool_size]:
+            with np.load(f) as z:
+                pool.append({k: z[k] for k in z.files})
+    else:
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+        import itertools
+        for i, b in enumerate(itertools.islice(batches, pool_size)):
+            hb = {k: np.asarray(v) for k, v in b.items()}
+            pool.append(hb)
+            if cache_dir:
+                np.savez(os.path.join(cache_dir, f"b{i:05d}.npz"), **hb)
+    assert pool, "cached_batch_source: empty pool"
+    close = getattr(batches, "close", None)
+    if close:
+        close()
+    rng = np.random.default_rng(seed)
+    while True:
+        yield pool[int(rng.integers(len(pool)))]
