@@ -194,3 +194,33 @@ def test_sharded_inference_matches_single_device():
     sharded = np.asarray(
         shard_call(pipe.mask2image_3mod_albedo, **kwargs))
     np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
+def test_tp_sharded_inference_matches_single_device():
+    """DP(4) x TP(2) serving: TP-sharded dual params through the full
+    sampling scan must reproduce the single-device result."""
+    import jax.numpy as jnp
+
+    from unirenderer_tpu.core import config
+    from unirenderer_tpu.parallel.mesh import make_mesh_2d, shard_pipeline
+    from unirenderer_tpu.pipelines import UniRendererPipeline
+
+    cfg = config.tiny()
+    pipe = UniRendererPipeline.create(cfg, jax.random.key(0),
+                                      dtype=jnp.float32)
+    s = cfg.vae.sample_size
+    b = 8
+    ks = jax.random.split(jax.random.key(1), 6)
+    maps = {k: jax.random.uniform(ks[i], (b, s, s, 3), minval=-1, maxval=1)
+            for i, k in enumerate(("normal", "albedo", "spec_light",
+                                   "diff_light", "env", "mask"))}
+    kwargs = dict(**maps, metallic=jnp.full((b,), 0.4),
+                  roughness=jnp.full((b,), 0.6),
+                  rng=jax.random.key(2), num_steps=2)
+
+    single = np.asarray(pipe.mask2image_3mod_albedo(**kwargs))
+
+    shard_call = shard_pipeline(pipe, make_mesh_2d(4, 2))
+    sharded = np.asarray(
+        shard_call(pipe.mask2image_3mod_albedo, **kwargs))
+    np.testing.assert_allclose(sharded, single, atol=2e-4)

@@ -215,20 +215,31 @@ def make_sharded_train_step(train_step, mesh: Mesh,
     )
 
 
-def shard_pipeline(pipe, mesh: Mesh, axis_name: str = "data"):
-    """Prepare a UniRendererPipeline for multi-chip DP serving: replicate
-    all parameter stacks over the mesh (in place) and return a helper that
+def shard_pipeline(pipe, mesh: Mesh, axis_name: str = "data",
+                   model_axis: str = "model"):
+    """Prepare a UniRendererPipeline for multi-chip serving: place all
+    parameter stacks over the mesh (in place) and return a helper that
     shards batched image/map inputs over `data` before a pipeline call.
 
-    Sampling then runs as ONE sharded XLA program per mode — batch split
-    across chips, collective-free (pure DP inference; the reference's
-    only serving story is a single GPU, eval/test_real.py).
+    Sampling then runs as ONE sharded XLA program per mode.  On a 1-D
+    `data` mesh this is pure DP (batch split, params replicated,
+    collective-free — the reference's only serving story is a single GPU,
+    eval/test_real.py).  On a 2-D (data, model) mesh from `make_mesh_2d`
+    the dual-stream params are additionally tensor-parallel-sharded
+    (tp_param_sharding), so each sample's transformer blocks split across
+    the `model` group — the latency axis DP cannot touch.
 
     Usage:
-        shard_call = shard_pipeline(pipe, make_mesh())
+        shard_call = shard_pipeline(pipe, make_mesh())          # DP
+        shard_call = shard_pipeline(pipe, make_mesh_2d(4, 2))   # DP x TP
         out = shard_call(pipe.mask2image_3mod_albedo, normal=..., ...)
     """
-    pipe.dual_params = replicate(pipe.dual_params, mesh)
+    if model_axis in mesh.shape:
+        pipe.dual_params = apply_sharding(
+            pipe.dual_params,
+            tp_param_sharding(pipe.dual_params, mesh, model_axis))
+    else:
+        pipe.dual_params = replicate(pipe.dual_params, mesh)
     pipe.vae_params = replicate(pipe.vae_params, mesh)
     pipe.text_params = replicate(pipe.text_params, mesh)
     bs = batch_sharding(mesh, axis_name)
