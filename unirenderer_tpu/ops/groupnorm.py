@@ -88,6 +88,11 @@ def _fused_fwd(x, scale, bias, groups, eps, silu, interpret=False):
         out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        # the f32 working set (x, x^2, y) legitimately exceeds the 16MB
+        # default scoped-vmem budget at the biggest SD shapes; v5e has
+        # 128MB VMEM and one program instance in flight per block
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x3, scale.reshape(1, c).astype(jnp.float32),
       bias.reshape(1, c).astype(jnp.float32))

@@ -151,8 +151,19 @@ class UniRendererPipeline:
 
     @functools.partial(jax.jit, static_argnums=0)
     def _vae_decode(self, params, latents):
-        return self.vae.apply(params, latents / self.cfg.vae.scaling_factor,
-                              method="decode")
+        def dec(z):
+            return self.vae.apply(params, z / self.cfg.vae.scaling_factor,
+                                  method="decode")
+
+        # chunked like encode: the inverse path decodes 6 maps x batch in
+        # one stack; full-res decoder activations OOM HBM above ~16 images
+        n = latents.shape[0]
+        c = self.VAE_CHUNK
+        if n > c and n % c == 0:
+            chunks = latents.reshape((n // c, c) + latents.shape[1:])
+            out = jax.lax.map(dec, chunks)
+            return out.reshape((n,) + out.shape[2:])
+        return dec(latents)
 
     def encode_images(self, images: jax.Array, rng: jax.Array) -> jax.Array:
         """images (B,H,W,3) in [-1,1] -> scaled latents (B,h,w,4)."""
