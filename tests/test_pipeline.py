@@ -154,3 +154,17 @@ def test_encoder_reuse_forward_sampling():
         cfg, sampler=dataclasses.replace(cfg.sampler, encoder_reuse=1))
     exact = np.asarray(pipe.mask2image_3mod_albedo(**kwargs))
     np.testing.assert_array_equal(exact, base)
+
+
+def test_chunked_vae_decode_matches_unchunked(pipe):
+    """decode of a stack larger than VAE_CHUNK (the inverse path's 6-map
+    x batch stack) must equal per-chunk == whole-stack decode exactly."""
+    c = pipe.VAE_CHUNK
+    n = 2 * c
+    s = pipe.cfg.unet.sample_size
+    lat = jax.random.normal(jax.random.key(3), (n, s, s, 4))
+    whole = np.asarray(pipe.decode_latents(lat))
+    parts = np.concatenate([
+        np.asarray(pipe.decode_latents(lat[i:i + c]))
+        for i in range(0, n, c)])
+    np.testing.assert_allclose(whole, parts, atol=1e-5)
