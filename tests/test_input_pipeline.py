@@ -120,3 +120,38 @@ def test_cached_batch_source_pools_and_persists(tmp_path):
     b = next(src2)
     assert calls == []
     assert b["image"].shape == (2, 4, 4, 3)
+
+
+def test_cached_batch_source_validates_shape(tmp_path):
+    """Reusing a pool with a different batch/resolution than the consumer
+    expects must raise, not silently train at the pool's shape
+    (ADVICE round-2 medium #2)."""
+    import numpy as np
+    import pytest
+
+    from unirenderer_tpu.data.input_pipeline import cached_batch_source
+
+    def gen():
+        while True:
+            yield {"image": np.zeros((4, 8, 8, 3))}
+
+    d = str(tmp_path / "pool")
+    src = cached_batch_source(gen(), 2, cache_dir=d,
+                              expect_batch=4, expect_resolution=8)
+    next(src)
+
+    # matching reuse is fine
+    src2 = cached_batch_source(gen(), 2, cache_dir=d,
+                               expect_batch=4, expect_resolution=8)
+    next(src2)
+
+    with pytest.raises(ValueError, match="batch 4"):
+        next(iter(cached_batch_source(gen(), 2, cache_dir=d,
+                                      expect_batch=8)))
+    with pytest.raises(ValueError, match="resolution 8"):
+        next(iter(cached_batch_source(gen(), 2, cache_dir=d,
+                                      expect_resolution=16)))
+
+    # freshly rendered batches are validated too
+    with pytest.raises(ValueError, match="batch 4"):
+        next(iter(cached_batch_source(gen(), 2, expect_batch=2)))

@@ -168,3 +168,106 @@ def test_chunked_vae_decode_matches_unchunked(pipe):
         np.asarray(pipe.decode_latents(lat[i:i + c]))
         for i in range(0, n, c)])
     np.testing.assert_allclose(whole, parts, atol=1e-5)
+
+
+def test_chunked_vae_remainder_stacks(pipe):
+    """Stacks that do NOT divide VAE_CHUNK (e.g. the batch-4 inverse decode
+    of 20 latents) must still decode chunk-bounded and match per-image
+    decode exactly (round-2 ADVICE medium #1 / VERDICT 'do this' #6)."""
+    s = pipe.cfg.unet.sample_size
+    for n in (17, pipe.VAE_CHUNK * 2 + 5):
+        lat = jax.random.normal(jax.random.key(40 + n), (n, s, s, 4))
+        whole = np.asarray(pipe.decode_latents(lat))
+        assert whole.shape[0] == n
+        ref = np.concatenate([
+            np.asarray(pipe.decode_latents(lat[i:i + 1]))
+            for i in range(n)])
+        np.testing.assert_allclose(whole, ref, atol=1e-4)
+
+        img = jax.random.uniform(jax.random.key(60 + n),
+                                 (n, s * 2, s * 2, 3), minval=-1, maxval=1)
+        z = np.asarray(pipe.encode_images(img, jax.random.key(0)))
+        assert z.shape[0] == n and np.isfinite(z).all()
+
+
+def test_ensemble_folded_into_batch(pipe):
+    """real_image2mask with ensemble>1 runs ONE folded program at
+    ensemble*batch and averages after decode: outputs keep the caller's
+    batch shape, stay finite, and per-sample independence holds
+    (different images in the batch give different maps)."""
+    cfg = pipe.cfg
+    s = cfg.vae.sample_size
+    img = jnp.stack([
+        jnp.full((s, s, 3), -0.5), jnp.full((s, s, 3), 0.5)])
+    mask = jnp.ones((2, s, s, 3))
+    out = pipe.real_image2mask_3mod_albedo(
+        image=img, mask=mask, rng=jax.random.key(11), num_steps=2,
+        ensemble=3)
+    for k in ("normal", "albedo", "spec_light", "diff_light", "env"):
+        assert out[k].shape == (2, s, s, 3), k
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    assert out["metallic"].shape[0] == 2
+    # distinct inputs -> distinct decompositions
+    alb = np.asarray(out["albedo"])
+    assert np.abs(alb[0] - alb[1]).mean() > 1e-4
+
+
+def test_material_readout_modes(pipe):
+    """'decode' readout inverts the training-side encoding (VAE decode ->
+    [m,m,r] channels); 'latent' reproduces the reference raw readout
+    (test_real.py:557-564).  Both are masked."""
+    cfg = pipe.cfg
+    s = cfg.vae.sample_size
+    img = jax.random.uniform(jax.random.key(21), (1, s, s, 3),
+                             minval=-1, maxval=1)
+    mask = jnp.ones((1, s, s, 3))
+    kw = dict(image=img, mask=mask, rng=jax.random.key(22), num_steps=2)
+    dec = pipe.image2mask_3mod_albedo(**kw, material_readout="decode")
+    lat = pipe.image2mask_3mod_albedo(**kw, material_readout="latent")
+    # decode readout is at image resolution, latent at latent resolution
+    assert dec["metallic"].shape == (1, s, s)
+    ls = s // cfg.vae.downscale
+    assert lat["metallic"].shape == (1, ls, ls)
+    for o in (dec, lat):
+        assert np.isfinite(np.asarray(o["metallic"])).all()
+        assert np.isfinite(np.asarray(o["roughness"])).all()
+
+
+def test_relight_material_readout_undiluted(pipe, monkeypatch):
+    """Regression for round-2 VERDICT weak #2: relight must feed the
+    forward re-render a MASKED-mean metallic/roughness.  With a 25%%-
+    coverage object at metallic 0.8, the old full-image mean read ~0.2."""
+    cfg = pipe.cfg
+    s = cfg.vae.sample_size
+    cov = np.zeros((1, s, s, 3), np.float32)
+    cov[:, : s // 2, : s // 2] = 1.0          # 25% coverage
+    mask = jnp.asarray(cov * 2.0 - 1.0)
+    maskv = cov[..., 0]
+
+    fake_dec = {
+        "normal": jnp.zeros((1, s, s, 3)),
+        "albedo": jnp.zeros((1, s, s, 3)),
+        "spec_light": jnp.zeros((1, s, s, 3)),
+        "diff_light": jnp.zeros((1, s, s, 3)),
+        "env": jnp.zeros((1, s, s, 3)),
+        # mask-multiplied per-pixel maps, as _inverse returns them
+        "metallic": jnp.asarray(maskv * 0.8),
+        "roughness": jnp.asarray(maskv * 0.4),
+        "material_latents": jnp.zeros((1, s // 2, s // 2, 4)),
+    }
+    captured = {}
+    monkeypatch.setattr(
+        pipe, "real_image2mask_3mod_albedo", lambda **kw: fake_dec)
+
+    def fake_forward(**kw):
+        captured.update(kw)
+        return jnp.zeros((1, s, s, 3))
+
+    monkeypatch.setattr(pipe, "mask2image_3mod_albedo", fake_forward)
+    pipe.relight(image=jnp.zeros((1, s, s, 3)), mask=mask,
+                 new_env=jnp.ones((8, 16, 3)), rng=jax.random.key(5),
+                 num_steps=2)
+    np.testing.assert_allclose(float(captured["metallic"][0]), 0.8,
+                               atol=1e-3)
+    np.testing.assert_allclose(float(captured["roughness"][0]), 0.4,
+                               atol=1e-3)

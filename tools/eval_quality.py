@@ -121,12 +121,14 @@ def main(argv=None):
         gt_img = batch["image"]
 
         # forward rendering from GT intrinsics
+        # material_image_encode: feed the VAE-encoded [m,m,r] material image
+        # exactly as training does (see pipelines.mask2image_3mod_albedo)
         fwd = pipe.mask2image_3mod_albedo(
             normal=batch["normal"], albedo=batch["albedo"],
             spec_light=batch["spec_light"], diff_light=batch["diff_light"],
             env=batch["env"], mask=batch["mask"],
             metallic=batch["metallic"], roughness=batch["roughness"],
-            rng=rng, num_steps=args.steps)
+            rng=rng, num_steps=args.steps, material_image_encode=True)
         psnr_fwd.append(M.psnr((np.asarray(fwd) + 1) / 2,
                                (np.asarray(gt_img) + 1) / 2))
         gt_images.append((np.asarray(gt_img) + 1) / 2)
@@ -143,8 +145,11 @@ def main(argv=None):
         mask01 = (np.asarray(batch["mask"])[..., 0] + 1) / 2 > 0.5
         norm_metric.update(np.asarray(inv["normal"]),
                            np.asarray(batch["normal"]), mask01)
-        m_pred = np.asarray(inv["metallic"]).mean(axis=(1, 2))
-        r_pred = np.asarray(inv["roughness"]).mean(axis=(1, 2))
+        # MASKED mean — the returned maps are mask-multiplied
+        # (test_real.py:557-564); a plain mean dilutes by the background
+        # fraction (round-2 VERDICT weak #2)
+        m_pred = _masked_mean(np.asarray(inv["metallic"]), mask01)
+        r_pred = _masked_mean(np.asarray(inv["roughness"]), mask01)
         mr_mae.append(float(np.abs(m_pred - np.asarray(batch["metallic"]))
                             .mean()
                       + np.abs(r_pred - np.asarray(batch["roughness"]))
@@ -183,6 +188,18 @@ def main(argv=None):
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
+
+
+def _masked_mean(maps: "np.ndarray", mask01: "np.ndarray") -> "np.ndarray":
+    """Per-image mean of `maps` (B,H,W) over the object mask (B,Hm,Wm),
+    nearest-resampling the mask if resolutions differ (latent readout)."""
+    b, h, w = maps.shape
+    if mask01.shape[1:] != (h, w):
+        yi = (np.arange(h) * mask01.shape[1] // h)
+        xi = (np.arange(w) * mask01.shape[2] // w)
+        mask01 = mask01[:, yi][:, :, xi]
+    m = mask01.astype(np.float32)
+    return (maps * m).sum(axis=(1, 2)) / np.maximum(m.sum(axis=(1, 2)), 1e-6)
 
 
 def _synthetic_batches(cfg, n, res):

@@ -133,8 +133,10 @@ def main(argv=None):
 
     if args.cache_batches:
         from unirenderer_tpu.data.input_pipeline import cached_batch_source
-        batches = cached_batch_source(batches, args.cache_batches,
-                                      cache_dir=args.cache_dir)
+        batches = cached_batch_source(
+            batches, args.cache_batches, cache_dir=args.cache_dir,
+            expect_batch=global_batch,
+            expect_resolution=args.resolution or cfg.data.resolution)
 
     state = trainer.train(batches, max_steps=args.steps)
     print(f"finished at step {int(jax.device_get(state.step))}; "

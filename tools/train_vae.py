@@ -82,7 +82,9 @@ def main(argv=None):
         from unirenderer_tpu.data.input_pipeline import cached_batch_source
         batches = cached_batch_source(batches, args.cache_batches,
                                       cache_dir=args.cache_dir,
-                                      seed=args.seed)
+                                      seed=args.seed,
+                                      expect_batch=args.batch,
+                                      expect_resolution=res)
 
     state = train_vae(cfg, batches, args.workdir, args.steps, lr=args.lr,
                       kl_weight=args.kl_weight, seed=args.seed,

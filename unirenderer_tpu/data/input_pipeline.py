@@ -99,7 +99,9 @@ def input_pipeline(dataset, batch_size: int,
 
 def cached_batch_source(batches: Iterator, pool_size: int,
                         cache_dir: Optional[str] = None,
-                        seed: int = 0) -> Iterator:
+                        seed: int = 0,
+                        expect_batch: Optional[int] = None,
+                        expect_resolution: Optional[int] = None) -> Iterator:
     """Materialise `pool_size` collated batches ONCE (to host RAM, and to
     `cache_dir` as .npz shards when given), then yield shuffled batches
     from the pool forever.
@@ -110,28 +112,60 @@ def cached_batch_source(batches: Iterator, pool_size: int,
     already rendered; a pre-rendered pool makes training device-bound.
     A populated cache_dir is reused across runs (e.g. the VAE and
     diffusion phases of the same quality run share one render pass).
+
+    `expect_batch` / `expect_resolution`: the consumer's global batch size
+    and image resolution.  A reused pool whose shards don't match raises
+    instead of silently training at the pool's shape (a round-2 footgun:
+    one pool shared between train_vae --batch 4 and train.py batch 8 ran
+    diffusion at batch 4 — ADVICE.md round-2 medium #2; mismatched batch
+    also breaks DP sharding on multi-device meshes).
     """
     import glob
+    import json
     import os
 
     import numpy as np
+
+    def _validate(shape, src):
+        if expect_batch is not None and shape[0] != expect_batch:
+            raise ValueError(
+                f"cached pool {src} has batch {shape[0]} but the consumer "
+                f"expects global batch {expect_batch}; re-render with "
+                f"a fresh --cache-dir or matching --batch")
+        if expect_resolution is not None and shape[1] != expect_resolution:
+            raise ValueError(
+                f"cached pool {src} has resolution {shape[1]} but the "
+                f"consumer expects {expect_resolution}; re-render with a "
+                f"fresh --cache-dir or matching config")
 
     pool = []
     files = sorted(glob.glob(os.path.join(cache_dir, "b*.npz"))) \
         if cache_dir else []
     if len(files) >= pool_size:
+        meta_path = os.path.join(cache_dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                _validate(tuple(json.load(f)["image_shape"]), cache_dir)
         for f in files[:pool_size]:
             with np.load(f) as z:
-                pool.append({k: z[k] for k in z.files})
+                b = {k: z[k] for k in z.files}
+            _validate(b["image"].shape, f)
+            pool.append(b)
     else:
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
         import itertools
         for i, b in enumerate(itertools.islice(batches, pool_size)):
             hb = {k: np.asarray(v) for k, v in b.items()}
+            _validate(hb["image"].shape, "(freshly rendered)")
             pool.append(hb)
             if cache_dir:
                 np.savez(os.path.join(cache_dir, f"b{i:05d}.npz"), **hb)
+        if cache_dir and pool:
+            with open(os.path.join(cache_dir, "meta.json"), "w") as f:
+                json.dump({"image_shape": list(pool[0]["image"].shape),
+                           "keys": sorted(pool[0]),
+                           "n_batches": len(pool)}, f)
     assert pool, "cached_batch_source: empty pool"
     close = getattr(batches, "close", None)
     if close:

@@ -37,6 +37,23 @@ def material_grid(n: int = 11) -> List[Tuple[float, float]]:
     return [(float(m), float(r)) for m in vals for r in vals]
 
 
+def _resize_bilinear(img: np.ndarray, r: int) -> np.ndarray:
+    """Host-side bilinear resize of an (H,W,3) float image to (r,r,3)."""
+    h, w = img.shape[:2]
+    yi = np.linspace(0, h - 1, r)
+    xi = np.linspace(0, w - 1, r)
+    y0 = np.clip(yi.astype(int), 0, h - 2)
+    x0 = np.clip(xi.astype(int), 0, w - 2)
+    fy = (yi - y0)[:, None, None]
+    fx = (xi - x0)[None, :, None]
+    a = img[y0][:, x0]
+    b = img[y0][:, x0 + 1]
+    c = img[y0 + 1][:, x0]
+    d = img[y0 + 1][:, x0 + 1]
+    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+            + c * fy * (1 - fx) + d * fy * fx).astype(np.float32)
+
+
 def load_mesh_npz(path: str) -> Dict[str, np.ndarray]:
     """Load a preprocessed mesh (.npz from tools/obj2mesh; the reference's
     .pth equivalent, obj2mesh.py:54-66)."""
@@ -113,11 +130,17 @@ class ObjaverseData:
         raise RuntimeError("too many unreadable samples")
 
     def _load_kd_texture(self, mesh: Dict, mesh_path: str) -> np.ndarray:
-        """(R, R, 3) linear-space albedo texture: the mesh's map_Kd image
+        """(R, R, 3) linear-space albedo texture: an embedded `kd_tex`
+        array (tools/make_synthetic_data.py), the mesh's map_Kd image
         (reference Material/Texture2D kd, src/utils/material.py:49-110;
         stored in sRGB, converted to linear like nvdiffrec) or the
         constant kd color tiled."""
         r = self.cfg.texture_res
+        if "kd_tex" in mesh:
+            t = np.asarray(mesh["kd_tex"], np.float32)
+            if t.shape[0] != r or t.shape[1] != r:
+                t = _resize_bilinear(t, r)
+            return t
         path = str(mesh.get("kd_map", ""))
         if path and not os.path.isabs(path):
             path = os.path.join(os.path.dirname(mesh_path), path)
@@ -164,68 +187,29 @@ class ObjaverseDataTest(ObjaverseData):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _render_batch(resolution: int, v_pos, t_idx, v_nrm, v_tng, v_tex,
-                  mvps, camposes, spec_mips, diffuse, metallics,
-                  roughnesses, kds, fg_lut):
-    """vmapped render over the batch; all leading dims = B."""
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _collate_batch(resolution: int, ssaa: int, bg: float,
+                   v_pos, t_idx, v_nrm, v_tng, v_tex, mvps, camposes,
+                   spec_mips, diffuse, metallics, roughnesses, kds, fg_lut):
+    """ONE jitted program: vmapped render + the full post-process (composite,
+    SSAA downsample, [-1,1] mapping, material/env images).
+
+    Round 2 ran the post ops eagerly — ~6s/batch of per-op dispatch latency
+    through the relay (VERDICT round-2 'do this' #2); fusing them here makes
+    the on-the-fly collate device-bound like the reference's in-loop GPU
+    render (train/train.py:184-439)."""
+    from unirenderer_tpu.ops.cubemap import cubemap_to_latlong
+    from unirenderer_tpu.ops.rasterize import ssaa_downsample
+
     def one(v, t, n, tg, tc, mvp, cp, spec, diff, met, rgh, kd_tex):
         env = EnvLight(specular=tuple(spec), diffuse=diff)
         mesh = Mesh(v_pos=v, t_pos_idx=t, v_nrm=n, t_nrm_idx=t,
                     v_tng=tg, t_tng_idx=t, v_tex=tc, t_tex_idx=t)
-        return render_mesh(mesh, mvp, cp, env, met, rgh, resolution,
+        return render_mesh(mesh, mvp, cp, env, met, rgh, resolution * ssaa,
                            kd_texture=kd_tex, fg_lut=fg_lut)
 
-    return jax.vmap(one)(v_pos, t_idx, v_nrm, v_tng, v_tex, mvps, camposes,
+    bufs = jax.vmap(one)(v_pos, t_idx, v_nrm, v_tng, v_tex, mvps, camposes,
                          spec_mips, diffuse, metallics, roughnesses, kds)
-
-
-def collate_render(items: List[Dict], resolution: int = 512,
-                   bg: float = 1.0, ssaa: int = 2) -> Dict[str, jnp.ndarray]:
-    """The train/train.py:184-439 collate_fn equivalent: renders the batch
-    and assembles the 8 training maps (in [-1,1]) + material scalars.
-
-    Returns the BATCH_KEYS dict for train_step plus 'metallic'/'roughness'.
-    Env maps for the 'env' conditioning image use the coarsest specular mip
-    expanded to a latlong image (the reference feeds the env image itself).
-
-    Antialiasing: geometry buffers are rendered at `ssaa`x resolution and
-    average-pooled down — our substitute for the reference's per-buffer
-    `dr.antialias` (src/utils/render.py:287-294, 324-331).  Edge pixels get
-    fractional coverage in mask/alpha exactly as antialiased composites do.
-    ssaa=1 disables.
-    """
-    from unirenderer_tpu.ops.cubemap import cubemap_to_latlong
-    from unirenderer_tpu.ops.rasterize import ssaa_downsample
-
-    b = len(items)
-    stack = lambda key: jnp.asarray(
-        np.stack([np.asarray(i["mesh"][key]) for i in items]))
-    v_pos, t_idx = stack("v_pos"), stack("t_idx")
-    v_nrm, v_tng = stack("v_nrm"), stack("v_tng")
-    v_tex = stack("v_tex")
-
-    mvps, camposes = [], []
-    for i in items:
-        mvp, cp = cam.spherical_camera(i["azimuth"], i["elevation"],
-                                       i["distance"])
-        mvps.append(mvp)
-        camposes.append(cp)
-    mvps = jnp.stack(mvps)
-    camposes = jnp.stack(camposes)
-
-    n_mips = len([k for k in items[0]["env"] if k.startswith("specular")])
-    spec_mips = [jnp.asarray(np.stack(
-        [i["env"][f"specular_{l}"] for i in items])) for l in range(n_mips)]
-    diffuse = jnp.asarray(np.stack([i["env"]["diffuse"] for i in items]))
-    metallics = jnp.asarray([i["metallic"] for i in items], jnp.float32)
-    roughnesses = jnp.asarray([i["roughness"] for i in items], jnp.float32)
-    kds = jnp.asarray(np.stack([i["mesh"]["kd_tex"] for i in items]))
-    fg = jnp.asarray(tex.fg_lut()[0])
-
-    bufs = _render_batch(resolution * ssaa, v_pos, t_idx, v_nrm, v_tng,
-                         v_tex, mvps, camposes, spec_mips, diffuse,
-                         metallics, roughnesses, kds, fg)
 
     def down(x):
         return ssaa_downsample(x, ssaa) if ssaa > 1 else x
@@ -260,3 +244,50 @@ def collate_render(items: List[Dict], resolution: int = 512,
         "metallic": metallics,
         "roughness": roughnesses,
     }
+
+
+def collate_render(items: List[Dict], resolution: int = 512,
+                   bg: float = 1.0, ssaa: int = 2) -> Dict[str, jnp.ndarray]:
+    """The train/train.py:184-439 collate_fn equivalent: renders the batch
+    and assembles the 8 training maps (in [-1,1]) + material scalars.
+
+    Returns the BATCH_KEYS dict for train_step plus 'metallic'/'roughness'.
+    Env maps for the 'env' conditioning image use the coarsest specular mip
+    expanded to a latlong image (the reference feeds the env image itself).
+
+    Antialiasing: geometry buffers are rendered at `ssaa`x resolution and
+    average-pooled down — our substitute for the reference's per-buffer
+    `dr.antialias` (src/utils/render.py:287-294, 324-331).  Edge pixels get
+    fractional coverage in mask/alpha exactly as antialiased composites do.
+    ssaa=1 disables.
+
+    Host side only stacks numpy arrays; everything else is ONE jitted
+    dispatch (`_collate_batch`).
+    """
+    stack = lambda key: jnp.asarray(
+        np.stack([np.asarray(i["mesh"][key]) for i in items]))
+    v_pos, t_idx = stack("v_pos"), stack("t_idx")
+    v_nrm, v_tng = stack("v_nrm"), stack("v_tng")
+    v_tex = stack("v_tex")
+
+    mvps, camposes = [], []
+    for i in items:
+        mvp, cp = cam.spherical_camera(i["azimuth"], i["elevation"],
+                                       i["distance"])
+        mvps.append(mvp)
+        camposes.append(cp)
+    mvps = jnp.stack(mvps)
+    camposes = jnp.stack(camposes)
+
+    n_mips = len([k for k in items[0]["env"] if k.startswith("specular")])
+    spec_mips = [jnp.asarray(np.stack(
+        [i["env"][f"specular_{l}"] for i in items])) for l in range(n_mips)]
+    diffuse = jnp.asarray(np.stack([i["env"]["diffuse"] for i in items]))
+    metallics = jnp.asarray([i["metallic"] for i in items], jnp.float32)
+    roughnesses = jnp.asarray([i["roughness"] for i in items], jnp.float32)
+    kds = jnp.asarray(np.stack([i["mesh"]["kd_tex"] for i in items]))
+    fg = jnp.asarray(tex.fg_lut()[0])
+
+    return _collate_batch(resolution, ssaa, bg, v_pos, t_idx, v_nrm, v_tng,
+                          v_tex, mvps, camposes, spec_mips, diffuse,
+                          metallics, roughnesses, kds, fg)
