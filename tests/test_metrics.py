@@ -134,3 +134,61 @@ def test_lpips_torch_port_mapping():
     assert k.shape == (3, 3, 3, 64)
     np.testing.assert_allclose(np.asarray(k)[..., 0, 5],
                                feats["0.weight"][5, 0], rtol=1e-6)
+
+
+def test_inception_torch_port_mapping():
+    """load_torch_inception on a SYNTHETIC torchvision-inception_v3
+    state_dict (real key naming via the mapping tables, random values):
+    every BasicConv scope ports, kernels land transposed, and the feature
+    function's output changes from the random init (round-2 VERDICT 'do
+    this' #9 — no weight files in a zero-egress environment)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unirenderer_tpu.eval import inception as I
+
+    import jax as _jax
+    model = I.InceptionV3Features()
+    params = model.init(_jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+    feat_fn = I.make_feature_fn(params=params, batch=2)
+    rng = np.random.default_rng(3)
+
+    flat = params["params"]
+    sd = {}
+    scopes = []
+    for top, sub in I._iter_scopes(flat):
+        src = I._torch_prefix(top, sub)
+        if src is None:
+            continue
+        leaf = flat[top] if sub is None else flat[top][sub]
+        k = np.asarray(leaf["conv"]["kernel"])          # (kh,kw,I,O)
+        sd[src + ".conv.weight"] = rng.standard_normal(
+            (k.shape[3], k.shape[2], k.shape[0], k.shape[1])
+        ).astype(np.float32) * 0.05
+        for ours, theirs in (("bn_gamma", "bn.weight"),
+                             ("bn_beta", "bn.bias"),
+                             ("bn_mean", "bn.running_mean"),
+                             ("bn_var", "bn.running_var")):
+            v = np.asarray(leaf[ours])
+            fill = (np.abs(rng.standard_normal(v.shape)) + 0.5
+                    if ours == "bn_var" else
+                    rng.standard_normal(v.shape))
+            sd[f"{src}.{theirs}"] = fill.astype(np.float32)
+        scopes.append((top, sub, src))
+    assert len(scopes) > 90          # inception_v3 has ~94 BasicConv units
+
+    ported = I.load_torch_inception(params, sd)
+    # kernel landed, transposed torch (O,I,kh,kw) -> flax (kh,kw,I,O)
+    top, sub, src = scopes[0]
+    leaf = ported["params"][top] if sub is None else ported["params"][top][sub]
+    np.testing.assert_allclose(
+        np.asarray(leaf["conv"]["kernel"]),
+        sd[src + ".conv.weight"].transpose(2, 3, 1, 0), atol=0)
+
+    fn2 = I.make_feature_fn(params=ported, batch=2)
+    x = rng.uniform(0, 1, (2, 75, 75, 3)).astype(np.float32)
+    fa = np.asarray(feat_fn(x))
+    fb = np.asarray(fn2(x))
+    assert fa.shape == fb.shape == (2, 2048)
+    assert np.isfinite(fb).all()
+    assert np.abs(fa - fb).max() > 0

@@ -76,3 +76,24 @@ def test_install_ported_recomputes_text_context(tmp_path):
     # and training still runs with the installed weights
     state = tr.train(synthetic_batches(cfg, batch=2), max_steps=1)
     assert int(jax.device_get(state.step)) == 1
+
+
+def test_metric_logger_tensorboard(tmp_path):
+    """--report-to tensorboard parity (reference train/train.py:712-719):
+    scalars land in a TB event file next to the JSONL."""
+    import glob
+    import json
+
+    from unirenderer_tpu.core.tracing import MetricLogger
+
+    path = str(tmp_path / "metrics.jsonl")
+    lg = MetricLogger(path, report_to=("jsonl", "tensorboard"))
+    lg.log(1, {"loss": 0.5, "lr": 1e-4})
+    lg.log(2, {"loss": 0.25, "lr": 1e-4})
+    lg.close()
+    with open(path) as f:
+        recs = [json.loads(l) for l in f]
+    assert [r["loss"] for r in recs] == [0.5, 0.25]
+    ev = glob.glob(str(tmp_path / "tensorboard" / "events.out.tfevents.*"))
+    assert ev, "no tensorboard event file written"
+    assert os.path.getsize(ev[0]) > 0

@@ -50,6 +50,9 @@ def main(argv=None):
                          "distributions)")
     ap.add_argument("--cache-dir",
                     help="persist/reuse the pre-rendered pool here")
+    ap.add_argument("--report-to", default="jsonl",
+                    help="comma list: jsonl,tensorboard (reference "
+                         "--report_to, train/train.py:712-719)")
     ap.add_argument("--sd-unet", help="diffusers UNet state_dict (.bin)")
     ap.add_argument("--sd-vae", help="diffusers VAE state_dict (.bin)")
     ap.add_argument("--sd-text", help="CLIP text state_dict (.bin)")
@@ -80,7 +83,8 @@ def main(argv=None):
 
     trainer = Trainer(cfg, args.workdir, fsdp=args.fsdp,
                       dtype=jnp.bfloat16 if name == "flagship"
-                      else jnp.float32)
+                      else jnp.float32,
+                      report_to=tuple(args.report_to.split(",")))
 
     if args.vae_ckpt:
         from unirenderer_tpu.core.checkpoint import CheckpointManager

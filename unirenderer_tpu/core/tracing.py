@@ -58,14 +58,29 @@ def profile_trace(log_dir: Optional[str]):
 
 
 class MetricLogger:
-    """Structured JSONL metric stream (replaces the reference's
-    tensorboard/wandb trackers, train/train.py:1164-1173, without external
-    services; TensorBoard export can consume the JSONL)."""
+    """Structured metric stream.  JSONL always; optional TensorBoard
+    writer for parity with the reference's `--report_to` trackers
+    (train/train.py:712-719, 1164-1173: tensorboard default, wandb/comet
+    optional).  The TB dependency is import-guarded — missing
+    `torch.utils.tensorboard` degrades to JSONL-only with a warning."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, report_to: tuple = ("jsonl",),
+                 tb_dir: str = None):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self.path = path
         self._f = open(path, "a", buffering=1)
+        self._tb = None
+        if "tensorboard" in report_to:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(
+                    tb_dir or os.path.join(os.path.dirname(path) or ".",
+                                           "tensorboard"))
+            except ImportError:
+                import warnings
+                warnings.warn("tensorboard writer unavailable "
+                              "(torch.utils.tensorboard import failed); "
+                              "logging JSONL only")
 
     def log(self, step: int, metrics: Dict) -> None:
         rec = {"step": int(step), "time": time.time()}
@@ -75,6 +90,12 @@ class MetricLogger:
             except (TypeError, ValueError):
                 rec[k] = str(v)
         self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k not in ("step", "time") and isinstance(v, float):
+                    self._tb.add_scalar(k, v, int(step))
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()

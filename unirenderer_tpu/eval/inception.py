@@ -212,9 +212,14 @@ def load_torch_inception(params, state_dict):
     handles the shared prefixes; see tests for shape verification when a
     weight file is supplied.
     """
+    import copy
+
     import numpy as np
 
-    flat = dict(params["params"])
+    # deep-copy the dict structure: the shallow copy shared nested leaf
+    # dicts with the caller's tree, so porting mutated the input params
+    # in place (caught by tests/test_metrics.py port-mapping test)
+    flat = copy.deepcopy(params["params"])
 
     def convert(dst_scope, src_prefix):
         p = flat

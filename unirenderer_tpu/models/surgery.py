@@ -296,32 +296,51 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def port_sd_checkpoint(unet_sd: Dict, vae_sd: Dict, text_sd: Dict, cfg,
-                       rng=None, dtype=jnp.bfloat16):
+                       rng=None, dtype=jnp.bfloat16, fast_init: bool = True):
     """Full port: diffusers state_dicts -> (dual_params, vae_params,
-    text_params) with the 28-ch surgery applied."""
+    text_params) with the 28-ch surgery applied.
+
+    `fast_init=True` builds the target trees as zero-filled shape-only
+    templates (`utils/fast_init.shape_init`) instead of running real
+    flax inits — the flagship init costs ~8 minutes through the TPU
+    tunnel (PERF.md) and its values are irrelevant here: every
+    torch-backed leaf is overwritten by the port (coverage asserted by
+    tests/test_sd14_keys.py) and the only surgery-created leaves are the
+    zero convs, whose CORRECT initial value is zero (reference
+    zero_module, models/controlnet.py:1360-1415).  Equivalence with the
+    real-init path is tested (tests/test_sd_port_e2e.py)."""
     from unirenderer_tpu.models.clip_text import init_text_encoder
     from unirenderer_tpu.models.dual_stream import ImageUNet, init_dual_stream
     from unirenderer_tpu.models.vae import init_vae
+    from unirenderer_tpu.utils.fast_init import shape_init
 
     rng = jax.random.key(0) if rng is None else rng
     k1, k2, k3 = jax.random.split(rng, 3)
 
     unet = ImageUNet(cfg.unet, dtype)
     s = cfg.unet.sample_size
-    unet_init = unet.init(
+    unet_init_fn = lambda: unet.init(
         k1, jnp.zeros((1, s, s, cfg.unet.in_channels)),
         jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim)))
+    unet_init = (shape_init(unet_init_fn, fill="zeros") if fast_init
+                 else unet_init_fn())
     unet_params, _ = fill_from_torch(unet_init, unet_sd, unet_path_map)
 
-    _, dual_init = init_dual_stream(cfg.unet, k1,
-                                    ctx_len=cfg.text.max_length, dtype=dtype)
+    dual_init_fn = lambda: init_dual_stream(
+        cfg.unet, k1, ctx_len=cfg.text.max_length, dtype=dtype)[1]
+    dual_init = (shape_init(dual_init_fn, fill="zeros") if fast_init
+                 else dual_init_fn())
     dual_params = dual_stream_from_unet(dual_init, unet_params)
 
-    _, vae_init = init_vae(cfg.vae, k2, dtype=dtype)
+    vae_init_fn = lambda: init_vae(cfg.vae, k2, dtype=dtype)[1]
+    vae_init = (shape_init(vae_init_fn, fill="zeros") if fast_init
+                else vae_init_fn())
     vae_params, _ = fill_from_torch(vae_init, vae_sd, vae_path_map)
 
-    _, text_init = init_text_encoder(cfg.text, k3, dtype=dtype)
+    text_init_fn = lambda: init_text_encoder(cfg.text, k3, dtype=dtype)[1]
+    text_init = (shape_init(text_init_fn, fill="zeros") if fast_init
+                 else text_init_fn())
     text_params, _ = fill_from_torch(text_init, text_sd, clip_path_map)
 
     return dual_params, vae_params, text_params

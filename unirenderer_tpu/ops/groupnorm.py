@@ -89,10 +89,17 @@ def _fused_fwd(x, scale, bias, groups, eps, silu, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
         # the f32 working set (x, x^2, y) legitimately exceeds the 16MB
-        # default scoped-vmem budget at the biggest SD shapes; v5e has
-        # 128MB VMEM and one program instance in flight per block
+        # default scoped-vmem budget at the biggest SD shapes.  Size the
+        # request from the actual block working set (input + ~4 f32
+        # temporaries + output, 2x compiler slack) instead of a fixed
+        # number, so small shapes keep the default budget and older
+        # TPU generations with less VMEM aren't asked for more than the
+        # block needs (ADVICE round-2 low #4)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=max(
+                16 * 1024 * 1024,
+                min(112 * 1024 * 1024,
+                    2 * hw * c * (x.dtype.itemsize + 5 * 4)))),
         interpret=interpret,
     )(x3, scale.reshape(1, c).astype(jnp.float32),
       bias.reshape(1, c).astype(jnp.float32))

@@ -36,7 +36,7 @@ class Trainer:
 
     def __init__(self, cfg: SystemConfig, workdir: str,
                  n_devices: Optional[int] = None, fsdp: bool = False,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, report_to: tuple = ("jsonl",)):
         self.cfg = cfg
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
@@ -66,7 +66,8 @@ class Trainer:
         self.ckpt = CheckpointManager(
             os.path.join(workdir, "checkpoints"),
             cfg.train.checkpoints_total_limit)
-        self.logger = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
+        self.logger = MetricLogger(os.path.join(workdir, "metrics.jsonl"),
+                                   report_to=report_to)
         self.timer = PhaseTimer()
         self.guard = AnomalyGuard()
 

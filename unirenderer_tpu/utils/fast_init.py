@@ -16,13 +16,19 @@ import numpy as np
 
 
 def shape_init(init_fn, *args, fill: str = "scaled_normal",
-               seed: int = 0, device: Optional[Any] = None):
+               seed: int = 0, device: Optional[Any] = None,
+               cast: Optional[Any] = None):
     """Evaluate init_fn(*args) shapes only, then materialise leaves.
 
     fill: "zeros" | "normal" | "scaled_normal" (normal / sqrt(fan_in)).
+    cast: optional dtype (e.g. jnp.bfloat16) applied to floating leaves ON
+    THE HOST before transfer — serving benches that want bf16 weights
+    would otherwise pay a device-side cast of the full parameter set
+    through the TPU relay (measured: the bulk of BENCH_r02's init_s=90.7).
     """
     shapes = jax.eval_shape(init_fn, *args)
     rng = np.random.default_rng(seed)
+    cast_np = np.dtype(cast) if cast is not None else None
 
     def make(s):
         if fill == "zeros":
@@ -33,6 +39,8 @@ def shape_init(init_fn, *args, fill: str = "scaled_normal",
                 fan_in = int(np.prod(s.shape[:-1]))
                 a = a / np.sqrt(max(fan_in, 1))
             a = a.astype(s.dtype)
+        if cast_np is not None and np.issubdtype(a.dtype, np.floating):
+            a = a.astype(cast_np)
         if device is not None:
             return jax.device_put(a, device)
         return jax.numpy.asarray(a)
