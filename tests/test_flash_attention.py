@@ -76,3 +76,24 @@ def test_dmajor_matches_reference():
     out = dmajor_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_splash_attention_matches_reference():
+    """The splash A/B candidate (interpret mode off-TPU) must agree with
+    the d-major XLA reference at an SD-like shape."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unirenderer_tpu.models.layers import dmajor_attention
+    from unirenderer_tpu.ops.flash_attention import tpu_splash_attention
+
+    b, s, h, d = 1, 256, 2, 40
+    ks = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, h, d), jnp.float32)
+    ref = np.asarray(dmajor_attention(q, k, v))
+    got = np.asarray(tpu_splash_attention(q, k, v, block_q=128,
+                                          block_kv=128, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)

@@ -224,3 +224,48 @@ def test_tp_sharded_inference_matches_single_device():
     sharded = np.asarray(
         shard_call(pipe.mask2image_3mod_albedo, **kwargs))
     np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
+def test_tp_fsdp_matches_single_device(setup, eight_devices):
+    """Hybrid DP(2) x TP(2) with FSDP-over-data on the TP-replicated
+    remainder (tp_param_sharding data_axis): numerically identical to the
+    unsharded step, with conv/embedding kernels actually sharded on
+    'data' (ADVICE round-2 low #3 made real)."""
+    cfg, dual, dual_params, vae, vae_params, schedule = setup
+    step_fn = make_train_step(cfg, dual, vae, schedule)
+    ctx = jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim))
+    batch = _batch(cfg, 4)
+    rng = jax.random.key(13)
+
+    s_single = create_train_state(cfg, _fresh(dual_params))
+    s_single, m_single = jax.jit(step_fn)(s_single, vae_params, ctx, batch,
+                                          rng)
+
+    m22 = pmesh.make_mesh_2d(2, 2)
+    # low min-size so the tiny config's conv kernels participate
+    sh = pmesh.tp_param_sharding(
+        create_train_state(cfg, _fresh(dual_params)), m22,
+        data_axis="data", fsdp_min_size=256)
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    assert any("data" in str(s.spec) for _, s in flat), \
+        "FSDP-over-data sharded nothing"
+    assert any("model" in str(s.spec) for _, s in flat)
+
+    tp_step, state_sh = pmesh.make_tp_train_step(
+        step_fn, m22, create_train_state(cfg, _fresh(dual_params)),
+        fsdp=True)
+    s_tp = pmesh.apply_sharding(
+        create_train_state(cfg, _fresh(dual_params)), state_sh)
+    repl = pmesh.replicated(m22)
+    bs = pmesh.batch_sharding(m22)
+    s_tp, m_tp = tp_step(
+        s_tp,
+        jax.tree.map(lambda x: jax.device_put(x, repl), vae_params),
+        jax.device_put(ctx, repl),
+        jax.tree.map(lambda x: jax.device_put(x, bs), batch), rng)
+
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_tp["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(s_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

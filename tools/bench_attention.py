@@ -51,6 +51,7 @@ def main(argv=None):
     from unirenderer_tpu.models.layers import dmajor_attention
     from unirenderer_tpu.ops.flash_attention import (
         flash_attention_available, tpu_flash_attention,
+        tpu_splash_attention,
     )
 
     b, h = args.batch, args.heads
@@ -101,6 +102,14 @@ def main(argv=None):
         cands = {"dmajor": dmajor_attention}
         if flash_attention_available(s, d):
             cands["flash"] = tpu_flash_attention
+            cands["splash"] = tpu_splash_attention
+            cands["splash_bq4096"] = functools.partial(
+                tpu_splash_attention, block_q=4096, block_kv=512)
+
+        def xla_dpa(q, k, v):
+            return jax.nn.dot_product_attention(q, k, v)
+
+        cands["xla_dpa"] = xla_dpa
         key = f"S{s}_D{d}"
         results[key] = {}
         for name, fn in cands.items():

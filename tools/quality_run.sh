@@ -28,14 +28,20 @@ if [ ! -f "$ROOT/test/.done" ]; then
 fi
 
 # VAE first (no SD weights in a zero-egress environment); renders the
-# shared 640-batch pool on the first pass
-python tools/train_vae.py --workdir "$ROOT/run" --config small \
-  --mesh-dir "$ROOT/data/meshes" --env-dir "$ROOT/data/envs" \
-  --steps 8000 --batch 16 --cache-batches 640 --cache-dir "$ROOT/pool"
+# shared 640-batch pool on the first pass.  Both training stages run under
+# the relay-stall watchdog (tools/run_watched.sh): they resume from their
+# checkpoints after a restart.
+bash tools/run_watched.sh \
+  "python tools/train_vae.py --workdir '$ROOT/run' --config small \
+     --mesh-dir '$ROOT/data/meshes' --env-dir '$ROOT/data/envs' \
+     --steps 8000 --batch 16 --cache-batches 640 --cache-dir '$ROOT/pool'" \
+  "$ROOT/run/vae_metrics.jsonl" 600
 
-python tools/train.py --workdir "$ROOT/run" --config small \
-  --mesh-dir "$ROOT/data/meshes" --env-dir "$ROOT/data/envs" \
-  --steps "$STEPS" --batch-per-device 16 --lr 1.4e-4 \
-  --vae-ckpt "$ROOT/run/vae_checkpoints" \
-  --cache-batches 640 --cache-dir "$ROOT/pool"
+bash tools/run_watched.sh \
+  "python tools/train.py --workdir '$ROOT/run' --config small \
+     --mesh-dir '$ROOT/data/meshes' --env-dir '$ROOT/data/envs' \
+     --steps $STEPS --batch-per-device 16 --lr 1.4e-4 \
+     --vae-ckpt '$ROOT/run/vae_checkpoints' \
+     --cache-batches 640 --cache-dir '$ROOT/pool'" \
+  "$ROOT/run/metrics.jsonl" 600
 echo "QUALITY RUN COMPLETE"

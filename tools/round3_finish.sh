@@ -1,0 +1,60 @@
+#!/bin/bash
+# round3_finish.sh <deadline_epoch_s>
+#
+# End-of-round insurance: at the deadline, stop the watched quality run
+# (checkpoints survive; the stage resumes next round if wanted), wait out
+# the relay lease with one patient probe, then produce the round-3
+# artifacts in priority order:
+#   1. QUALITY_r03.json  — eval_quality on the held-out set, FID + LPIPS
+#   2. ATTN_AB_r03.json  — attention A/B (dmajor/flash/splash/xla_dpa)
+#   3. BENCH cold + warm — two bench.py runs back to back; the second
+#      run's compile_s answers the round-2 warm-start question (weak #3)
+# Everything is logged to /tmp/q3/finish.log and committed.
+set -u
+DEADLINE=${1:?deadline epoch}
+cd /root/repo
+exec >> /tmp/q3/finish.log 2>&1
+
+echo "=== finish script armed; deadline $(date -d @"$DEADLINE" 2>/dev/null || echo "$DEADLINE")"
+while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  sleep 30
+  # another copy already past the gate? bail
+  [ -f /tmp/q3/finish.started ] && exit 0
+done
+touch /tmp/q3/finish.started
+echo "=== $(date -u) deadline reached; stopping training"
+
+if [ -f /tmp/q3/watchdog.pid ]; then
+  WPID=$(cat /tmp/q3/watchdog.pid)
+  KIDS=$(pgrep -P "$WPID" 2>/dev/null)
+  kill "$WPID" 2>/dev/null
+  for K in $KIDS; do kill "$K" 2>/dev/null; done
+  sleep 20
+  for K in $KIDS; do kill -9 "$K" 2>/dev/null; done
+fi
+
+echo "=== $(date -u) waiting out the relay lease (patient probe)"
+timeout 1500 python -c 'import jax.numpy as jnp; print(jnp.ones((8,8)).sum())'
+echo "=== $(date -u) probe done rc=$?"
+
+STEP_INFO=$(ls /tmp/q3/run/checkpoints | tail -1)
+echo "=== evaluating at $STEP_INFO"
+timeout 5400 python tools/eval_quality.py --config small \
+  --mesh-dir /tmp/q3/test/meshes --env-dir /tmp/q3/test/envs \
+  --ckpt /tmp/q3/run/checkpoints --vae-ckpt /tmp/q3/run/vae_checkpoints \
+  --n 32 --steps 20 --fid --lpips --out /root/repo/QUALITY_r03.json
+echo "=== $(date -u) eval rc=$?"
+
+timeout 1800 python tools/bench_attention.py | tee /tmp/q3/attn_ab.txt
+echo "=== $(date -u) attn A/B rc=$?"
+tail -1 /tmp/q3/attn_ab.txt > /root/repo/ATTN_AB_r03.json || true
+
+timeout 2400 python bench.py > /tmp/q3/bench_cold.json
+echo "=== $(date -u) bench cold rc=$?"
+timeout 1200 python bench.py > /tmp/q3/bench_warm.json
+echo "=== $(date -u) bench warm rc=$?"
+cp /tmp/q3/bench_cold.json /tmp/q3/bench_warm.json /root/repo/ 2>/dev/null
+
+git add -A QUALITY_r03.json ATTN_AB_r03.json bench_cold.json bench_warm.json 2>/dev/null
+git commit -m "round-3 artifacts: trained quality eval, attention A/B, cold/warm bench" 2>/dev/null
+echo "=== $(date -u) finish script complete"

@@ -70,6 +70,38 @@ def tpu_flash_attention(q: jax.Array, k: jax.Array,
     return o.transpose(0, 2, 1, 3)
 
 
+@functools.lru_cache(maxsize=None)
+def _splash_kernel(h: int, s: int, sk: int, bq: int, bkv: int,
+                   interpret: bool = False):
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sker,
+        splash_attention_mask as smask,
+    )
+    mask = smask.MultiHeadMask(
+        [smask.FullMask((s, sk)) for _ in range(h)])
+    bs = sker.BlockSizes(block_q=min(bq, s), block_kv=min(bkv, sk))
+    return sker.make_splash_mha(mask, block_sizes=bs,
+                                head_shards=1, q_seq_shards=1,
+                                interpret=interpret)
+
+
+def tpu_splash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                         block_q: int = 2048,
+                         block_kv: int = 1024,
+                         interpret: bool = False) -> jax.Array:
+    """Splash-attention candidate over (B, S, H, D) — the newer library
+    TPU kernel generation (grid over heads, fused mask handling).  Kept as
+    an A/B candidate vs `tpu_flash_attention` (tools/bench_attention.py);
+    routing picks whichever measures faster on the target shapes."""
+    b, s, h, d = q.shape
+    kern = _splash_kernel(h, s, k.shape[1], block_q, block_kv, interpret)
+    scale = 1.0 / math.sqrt(d)
+    qt = (q * scale).transpose(0, 2, 1, 3)      # (B, H, S, D)
+    out = jax.vmap(kern)(qt, k.transpose(0, 2, 1, 3),
+                         v.transpose(0, 2, 1, 3))
+    return out.transpose(0, 2, 1, 3)
+
+
 def maybe_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array
                           ) -> Optional[jax.Array]:
     """Run the flash kernel if shapes/backend allow, else None (caller
