@@ -39,15 +39,24 @@ echo "=== $(date -u) probe done rc=$?"
 
 STEP_INFO=$(ls /tmp/q3/run/checkpoints | tail -1)
 echo "=== evaluating at $STEP_INFO"
-timeout 5400 python tools/eval_quality.py --config small \
+timeout 3900 python tools/eval_quality.py --config small \
   --mesh-dir /tmp/q3/test/meshes --env-dir /tmp/q3/test/envs \
   --ckpt /tmp/q3/run/checkpoints --vae-ckpt /tmp/q3/run/vae_checkpoints \
   --n 32 --steps 20 --fid --lpips --out /root/repo/QUALITY_r03.json
 echo "=== $(date -u) eval rc=$?"
 
-timeout 1800 python tools/bench_attention.py | tee /tmp/q3/attn_ab.txt
+timeout 1500 python tools/bench_attention.py | tee /tmp/q3/attn_ab.txt
 echo "=== $(date -u) attn A/B rc=$?"
 tail -1 /tmp/q3/attn_ab.txt > /root/repo/ATTN_AB_r03.json || true
+
+timeout 900 python tools/bench_collate.py --mesh-dir /tmp/q3/data/meshes \
+  --env-dir /tmp/q3/data/envs --batch 16 --resolution 64 \
+  > /root/repo/COLLATE_r03_64.json
+echo "=== $(date -u) collate 64 rc=$?"
+timeout 900 python tools/bench_collate.py --mesh-dir /tmp/q3/data/meshes \
+  --env-dir /tmp/q3/data/envs --batch 4 --resolution 512 --iters 5 \
+  > /root/repo/COLLATE_r03_512.json
+echo "=== $(date -u) collate 512 rc=$?"
 
 timeout 2400 python bench.py > /tmp/q3/bench_cold.json
 echo "=== $(date -u) bench cold rc=$?"
@@ -55,6 +64,7 @@ timeout 1200 python bench.py > /tmp/q3/bench_warm.json
 echo "=== $(date -u) bench warm rc=$?"
 cp /tmp/q3/bench_cold.json /tmp/q3/bench_warm.json /root/repo/ 2>/dev/null
 
-git add -A QUALITY_r03.json ATTN_AB_r03.json bench_cold.json bench_warm.json 2>/dev/null
-git commit -m "round-3 artifacts: trained quality eval, attention A/B, cold/warm bench" 2>/dev/null
+git add -A QUALITY_r03.json ATTN_AB_r03.json COLLATE_r03_64.json \
+  COLLATE_r03_512.json bench_cold.json bench_warm.json 2>/dev/null
+git commit -m "round-3 artifacts: trained quality eval, attention A/B, collate + cold/warm bench" 2>/dev/null
 echo "=== $(date -u) finish script complete"
