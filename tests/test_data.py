@@ -183,3 +183,65 @@ def test_collate_render_uses_kd_texture(tmp_path):
     green = alb[..., 1][mask[..., 0]]
     assert red.mean() > 0.5          # red channel dominates
     assert green.mean() < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Normal-map frame convention (round-3 fix: canonical-camera-relative)
+# ---------------------------------------------------------------------------
+
+
+def _sphere_item(az, el):
+    from unirenderer_tpu.render.mesh import make_sphere
+
+    s = make_sphere(16)
+    kd = np.asarray([0.6, 0.5, 0.4], np.float32)
+    mesh = {
+        "v_pos": np.asarray(s.v_pos), "t_idx": np.asarray(s.t_pos_idx),
+        "v_nrm": np.asarray(s.v_nrm), "v_tex": np.asarray(s.v_tex),
+        "v_tng": np.asarray(s.v_tng), "kd": kd,
+        "kd_tex": np.broadcast_to(kd, (16, 16, 3)).copy(),
+    }
+    env = {"specular_0": np.ones((6, 8, 8, 3), np.float32),
+           "specular_1": np.ones((6, 4, 4, 3), np.float32),
+           "diffuse": np.ones((6, 4, 4, 3), np.float32)}
+    return dict(mesh=mesh, env=env, metallic=0.3, roughness=0.5,
+                azimuth=az, elevation=el, distance=2.5)
+
+
+def test_canonical_normal_rotation_identity_at_pin():
+    """At the reference's pinned train camera (az=0, el=90,
+    dataset/objaverse.py:207-208) the normal frame is bit-for-bit the old
+    world-space convention."""
+    from unirenderer_tpu.render.camera import canonical_normal_rotation
+
+    q = np.asarray(canonical_normal_rotation(0.0, 90.0))
+    np.testing.assert_allclose(q, np.eye(3), atol=1e-6)
+
+
+def test_canonical_normal_rotation_is_rotation():
+    from unirenderer_tpu.render.camera import canonical_normal_rotation
+
+    for az, el in ((137.0, 64.0), (291.5, 118.0), (45.0, 90.0)):
+        q = np.asarray(canonical_normal_rotation(az, el))
+        np.testing.assert_allclose(q @ q.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(q) > 0.99
+
+
+def test_collate_normals_view_invariant_for_sphere():
+    """A sphere looks the same from every azimuth, so its canonical-frame
+    normal map must be the same too — the invariance that makes
+    image->normal learnable under random cameras (world-space targets
+    rotate with the unobservable camera and sit at chance: rounds 1-2)."""
+    # 90 deg is a multiple of the 16-segment sphere's facet angle, so the
+    # rotated mesh maps onto itself exactly and only the frame differs
+    b0 = collate_render([_sphere_item(0.0, 90.0)], resolution=32)
+    b1 = collate_render([_sphere_item(90.0, 90.0)], resolution=32)
+    n0 = np.asarray(b0["normal"])[0]
+    n1 = np.asarray(b1["normal"])[0]
+    m = (np.asarray(b0["mask"])[0, ..., 0] > 0.99) & \
+        (np.asarray(b1["mask"])[0, ..., 0] > 0.99)
+    # interior pixels (rasterization differs at silhouette edges)
+    assert m.sum() > 50
+    np.testing.assert_allclose(n0[m], n1[m], atol=0.08)
+    # and the map faces the canonical camera (+x side): mean normal x > 0
+    assert n0[m][:, 0].mean() > 0.3

@@ -189,7 +189,7 @@ class ObjaverseDataTest(ObjaverseData):
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _collate_batch(resolution: int, ssaa: int, bg: float,
-                   v_pos, t_idx, v_nrm, v_tng, v_tex, mvps, camposes,
+                   v_pos, t_idx, v_nrm, v_tng, v_tex, mvps, camposes, nrots,
                    spec_mips, diffuse, metallics, roughnesses, kds, fg_lut):
     """ONE jitted program: vmapped render + the full post-process (composite,
     SSAA downsample, [-1,1] mapping, material/env images).
@@ -235,7 +235,11 @@ def _collate_batch(resolution: int, ssaa: int, bg: float,
         "image": to_train(bufs["shaded"]),
         "mask": mask3 * 2 - 1,
         "material": material,
-        "normal": down(bufs["gb_normal"][..., :3]
+        # canonical-camera frame (camera.canonical_normal_rotation: the
+        # identity at the reference's pinned train pose; under random
+        # cameras this is what makes image->normal well-posed)
+        "normal": down(jnp.einsum("bij,bhwj->bhwi", nrots,
+                                  bufs["gb_normal"][..., :3])
                        * bufs["mask"]),                # already [-1,1]
         "albedo": to_train(bufs["albedo"]),
         "spec_light": to_train(bufs["spec_light"]),
@@ -270,14 +274,17 @@ def collate_render(items: List[Dict], resolution: int = 512,
     v_nrm, v_tng = stack("v_nrm"), stack("v_tng")
     v_tex = stack("v_tex")
 
-    mvps, camposes = [], []
+    mvps, camposes, nrots = [], [], []
     for i in items:
         mvp, cp = cam.spherical_camera(i["azimuth"], i["elevation"],
                                        i["distance"])
         mvps.append(mvp)
         camposes.append(cp)
+        nrots.append(cam.canonical_normal_rotation(i["azimuth"],
+                                                   i["elevation"]))
     mvps = jnp.stack(mvps)
     camposes = jnp.stack(camposes)
+    nrots = jnp.stack(nrots)
 
     n_mips = len([k for k in items[0]["env"] if k.startswith("specular")])
     spec_mips = [jnp.asarray(np.stack(
@@ -289,5 +296,5 @@ def collate_render(items: List[Dict], resolution: int = 512,
     fg = jnp.asarray(tex.fg_lut()[0])
 
     return _collate_batch(resolution, ssaa, bg, v_pos, t_idx, v_nrm, v_tng,
-                          v_tex, mvps, camposes, spec_mips, diffuse,
+                          v_tex, mvps, camposes, nrots, spec_mips, diffuse,
                           metallics, roughnesses, kds, fg)

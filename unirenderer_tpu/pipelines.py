@@ -713,6 +713,12 @@ class UniRendererPipeline:
 
         `new_env`: an EnvLight, or an (H, W, 3) linear-HDR latlong image
         (prefiltered here at `env_res`/`env_samples` quality).
+
+        Frames: decomposed normals are in the CANONICAL-camera frame
+        (render/camera.canonical_normal_rotation — for a photo, the frame
+        of the camera that took it), and `new_env` is interpreted in that
+        same frame, exactly as the reference does implicitly by training
+        with one pinned camera (dataset/objaverse.py:207-208).
         """
         from unirenderer_tpu.ops.cubemap import cubemap_to_latlong
         from unirenderer_tpu.render.light import (

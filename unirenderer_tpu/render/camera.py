@@ -63,6 +63,35 @@ def spherical_camera(azimuth_deg, elevation_deg, distance,
     return proj @ view, eye
 
 
+def view_rotation(azimuth_deg, elevation_deg) -> jnp.ndarray:
+    """3x3 world->camera rotation of `spherical_camera`'s pose (lookat the
+    origin, +y up; distance drops out of the rotation)."""
+    az = jnp.deg2rad(jnp.asarray(azimuth_deg, jnp.float32))
+    el = jnp.deg2rad(jnp.asarray(elevation_deg, jnp.float32))
+    eye = jnp.stack([jnp.sin(el) * jnp.cos(az), jnp.cos(el),
+                     jnp.sin(el) * jnp.sin(az)])
+    return lookat(eye, jnp.zeros(3), jnp.asarray([0.0, 1.0, 0.0]))[:3, :3]
+
+
+def canonical_normal_rotation(azimuth_deg, elevation_deg) -> jnp.ndarray:
+    """Q = R0^T R_c: rotate world vectors as if the scene were turned so
+    camera (az, el) sits at the reference's pinned training pose (az=0,
+    el=90 — dataset/objaverse.py:207-208).
+
+    The reference trains with ONE fixed camera, so its "world-space"
+    normal maps are really normals in that camera's (fixed) frame — the
+    only reason image->normal is a well-posed task there.  Under random
+    cameras, raw world normals depend on an unobservable camera azimuth
+    and are unlearnable on held-out objects (rounds 1-2: normal-angle
+    error stuck at chance).  Expressing targets as Q @ n_world makes them
+    a pure function of the image (view-space orientation in fixed axes)
+    and reduces to the identity — bit-exact reference parity — when the
+    camera IS the pinned one.
+    """
+    r0 = view_rotation(0.0, 90.0)
+    return r0.T @ view_rotation(azimuth_deg, elevation_deg)
+
+
 def fov_to_intrinsics(fov_deg: float) -> jnp.ndarray:
     """Normalized pinhole intrinsics (reference camera_util.py
     FOV_to_intrinsics)."""
