@@ -104,9 +104,21 @@ def tpu_splash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def maybe_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array
                           ) -> Optional[jax.Array]:
-    """Run the flash kernel if shapes/backend allow, else None (caller
-    falls back to d-major XLA attention)."""
+    """Run the fused kernel if shapes/backend allow, else None (caller
+    falls back to d-major XLA attention).
+
+    UNIRENDER_ATTN selects the kernel family for the tileable shapes
+    without a code edit (A/B plumbing for tools/bench_attention.py +
+    bench.py): 'flash' (default), 'splash', or 'dmajor' (force the XLA
+    fallback everywhere)."""
+    import os
+
     b, s, h, d = q.shape
     if not flash_attention_available(s, d, sk=k.shape[1]):
         return None
+    which = os.environ.get("UNIRENDER_ATTN", "flash")
+    if which == "dmajor":
+        return None
+    if which == "splash":
+        return tpu_splash_attention(q, k, v)
     return tpu_flash_attention(q, k, v)
