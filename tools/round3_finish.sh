@@ -24,13 +24,18 @@ done
 touch /tmp/q3/finish.started
 echo "=== $(date -u) deadline reached; stopping training"
 
+# order matters: outer driver first (else it launches the next stage),
+# then the watchdog restart loop, then the stage's whole process group
+# (setsid in run_watched.sh makes the child pid a pgid).
+[ -f /tmp/q3/driver.pid ] && kill "$(cat /tmp/q3/driver.pid)" 2>/dev/null
 if [ -f /tmp/q3/watchdog.pid ]; then
-  WPID=$(cat /tmp/q3/watchdog.pid)
-  KIDS=$(pgrep -P "$WPID" 2>/dev/null)
-  kill "$WPID" 2>/dev/null
-  for K in $KIDS; do kill "$K" 2>/dev/null; done
+  kill "$(cat /tmp/q3/watchdog.pid)" 2>/dev/null
+fi
+if [ -f /tmp/q3/watchdog.pid.child ]; then
+  CPID=$(cat /tmp/q3/watchdog.pid.child)
+  kill -- "-$CPID" 2>/dev/null
   sleep 20
-  for K in $KIDS; do kill -9 "$K" 2>/dev/null; done
+  kill -9 -- "-$CPID" 2>/dev/null
 fi
 
 echo "=== $(date -u) waiting out the relay lease (patient probe)"

@@ -1,5 +1,5 @@
 #!/bin/bash
-# run_watched.sh "<command>" <progress_file> [stale_sec]
+# run_watched.sh "<command>" <progress_file> [stale_sec] [pidfile]
 #
 # Runs a (checkpoint-resumable) training stage and restarts it whenever its
 # progress file stops advancing — the axon TPU relay intermittently wedges
@@ -9,14 +9,25 @@
 # in backend init until then, which is exactly the patient-probe pattern
 # CLAUDE.md prescribes).  Stages resume from their checkpoints, so a
 # restart loses at most checkpoint_every steps.
+#
+# The stage runs in its own session (setsid) so a kill reaches the python
+# TPU client, not just the `bash -c` wrapper — an orphaned client would
+# hold the relay lease forever and the restarted stage would never start.
+# If [pidfile] is given, the watchdog writes its own pid there and the
+# current stage's process-group id to "$pidfile.child" (refreshed on every
+# restart) so an external stopper (round3_finish.sh) can take it all down.
 CMD="$1"
 PROGRESS="$2"
 STALE=${3:-600}
+PIDFILE=${4:-}
 FIRST_STALE=$((STALE * 3))      # first start pays compile + possible lease wait
 
+[ -n "$PIDFILE" ] && echo $$ > "$PIDFILE"
+
 while true; do
-  bash -c "$CMD" &
+  setsid bash -c "$CMD" &
   PID=$!
+  [ -n "$PIDFILE" ] && echo "$PID" > "$PIDFILE.child"
   START=$(date +%s)
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
@@ -33,9 +44,9 @@ while true; do
     AGE=$((NOW - REF))
     if [ "$AGE" -gt "$LIMIT" ]; then
       echo "WATCHDOG: no progress for ${AGE}s (> ${LIMIT}); restarting stage" >&2
-      kill "$PID" 2>/dev/null
+      kill -- "-$PID" 2>/dev/null
       sleep 10
-      kill -9 "$PID" 2>/dev/null
+      kill -9 -- "-$PID" 2>/dev/null
       break
     fi
   done
