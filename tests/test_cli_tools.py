@@ -169,6 +169,28 @@ def test_segmentation_mask_contract(tmp_path):
     assert outside.sum() == 0            # nothing outside the box
 
 
+def test_box_prompt_multicolor_background():
+    """GrabCut-style box prompt handles a MULTI-modal background whose
+    mean color equals the object color — the case the round-2
+    single-Gaussian background model provably got wrong (object distance
+    to the mean background is ~0, so it was labelled background)."""
+    from unirenderer_tpu.eval.segmentation import box_prompt_mask
+
+    rng = np.random.default_rng(1)
+    img = np.zeros((64, 64, 3), np.float32)
+    img[:, :32] = [0.9, 0.1, 0.1]            # red left background
+    img[:, 32:] = [0.1, 0.1, 0.9]            # blue right background
+    img += 0.03 * rng.standard_normal(img.shape).astype(np.float32)
+    img[24:42, 22:46] = [0.5, 0.1, 0.5]      # object == background MEAN
+    img = np.clip(img, 0, 1)
+    got = box_prompt_mask(img, (18, 20, 50, 46))
+    obj = got[26:40, 24:44, 0]
+    outside = got[..., 0].copy()
+    outside[20:46, 18:50] = 0
+    assert obj.mean() > 0.9, f"object coverage {obj.mean():.2f}"
+    assert outside.sum() == 0
+
+
 def test_run_inverse_external_mask_cli(tmp_path):
     """CLI accepts an external mask file end-to-end (tiny model)."""
     from PIL import Image

@@ -55,15 +55,60 @@ def auto_mask(img01: np.ndarray, thresh: float = 0.95) -> np.ndarray:
     return mask[..., None].repeat(3, -1)
 
 
+def _fit_gmm(px: np.ndarray, k: int, iters: int = 8,
+             seed: int = 0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tiny diagonal-covariance color GMM (numpy EM).  Returns
+    (weights (k,), means (k,3), vars (k,3))."""
+    rng = np.random.RandomState(seed)
+    n = px.shape[0]
+    k = min(k, n)
+    # k-means++-lite init: spread the first centers over the data
+    means = px[rng.choice(n, size=k, replace=False)].astype(np.float64)
+    var = np.full((k, 3), max(px.var(), 1e-4), np.float64)
+    w = np.full((k,), 1.0 / k)
+    x = px.astype(np.float64)
+    for _ in range(iters):
+        # E: responsibilities under diagonal gaussians
+        d2 = ((x[:, None, :] - means[None]) ** 2 / var[None]).sum(-1)
+        logp = (np.log(w + 1e-12)[None]
+                - 0.5 * (d2 + np.log(var).sum(-1)[None]))
+        logp -= logp.max(axis=1, keepdims=True)
+        r = np.exp(logp)
+        r /= r.sum(axis=1, keepdims=True)
+        # M
+        nk = r.sum(0) + 1e-8
+        w = nk / n
+        means = (r.T @ x) / nk[:, None]
+        var = (r.T @ (x ** 2)) / nk[:, None] - means ** 2
+        var = np.maximum(var, 1e-4)
+    return w, means, var
+
+
+def _gmm_loglik(px: np.ndarray, gmm) -> np.ndarray:
+    w, means, var = gmm
+    x = px.astype(np.float64)
+    d2 = ((x[:, None, :] - means[None]) ** 2 / var[None]).sum(-1)
+    logp = (np.log(w + 1e-12)[None]
+            - 0.5 * (d2 + np.log(var).sum(-1)[None]))
+    m = logp.max(axis=1)
+    return m + np.log(np.exp(logp - m[:, None]).sum(axis=1))
+
+
 def box_prompt_mask(img01: np.ndarray, box: Sequence[int],
-                    bg_quantile: float = 0.6) -> np.ndarray:
+                    bg_quantile: float = 0.6,  # kept for API compat
+                    k: int = 5, gc_iters: int = 4) -> np.ndarray:
     """Segment the object inside a user box (x0, y0, x1, y1) — the app's
     2-click flow (reference test_app.py:169-192) without SAM2.
 
-    Background color model = pixels OUTSIDE the box; inside the box,
-    pixels whose color distance to the background model exceeds the
-    `bg_quantile` of the outside distances are foreground; the connected
-    component containing the box center is kept.
+    GrabCut-style iterated color modelling (numpy-only): foreground and
+    background are each a k-component diagonal GMM (background seeded
+    from pixels OUTSIDE the box — the hard constraint, as in GrabCut);
+    pixels inside the box are re-labelled by likelihood ratio each round
+    and the models are refit.  An edge-aware local vote stands in for the
+    graph-cut pairwise term, then the connected component containing the
+    box centre is kept.  Beats the single-Gaussian background model on
+    multi-coloured real-photo backgrounds; still short of SAM2 — supply
+    an external mask (MASK FILE CONTRACT above) for hard cases.
     Returns (H, W, 3) float mask in {0, 1}.
     """
     from scipy import ndimage
@@ -77,16 +122,47 @@ def box_prompt_mask(img01: np.ndarray, box: Sequence[int],
 
     outside = np.ones((h, w), bool)
     outside[y0:y1, x0:x1] = False
-    bg_px = img01[outside].reshape(-1, 3)
-    if bg_px.size == 0:                      # box covers the whole image
+    if not outside.any():                    # box covers the whole image
         return auto_mask(img01)
-    bg_mean = bg_px.mean(0)
-    d_out = np.linalg.norm(bg_px - bg_mean, axis=-1)
-    tau = max(np.quantile(d_out, bg_quantile), 0.05)
 
-    dist = np.linalg.norm(img01 - bg_mean, axis=-1)
-    fg = np.zeros((h, w), bool)
-    fg[y0:y1, x0:x1] = dist[y0:y1, x0:x1] > tau
+    # subsample model-fitting pixels for speed at large resolutions
+    def sample(mask2d, cap=4000, seed=0):
+        px = img01[mask2d].reshape(-1, 3)
+        if px.shape[0] > cap:
+            idx = np.random.RandomState(seed).choice(
+                px.shape[0], cap, replace=False)
+            px = px[idx]
+        return px
+
+    inside = ~outside
+    fg = inside.copy()                       # init: whole box is FG
+    flat = img01.reshape(-1, 3)
+    in_flat = inside.reshape(-1)
+    for it in range(gc_iters):
+        bg_px = sample(outside | (inside & ~fg), seed=it)
+        fg_px = sample(fg, seed=100 + it)
+        if fg_px.shape[0] < k or bg_px.shape[0] < k:
+            break
+        gmm_bg = _fit_gmm(bg_px, k, seed=it)
+        gmm_fg = _fit_gmm(fg_px, k, seed=100 + it)
+        ratio = np.full(flat.shape[0], -1e9)
+        ratio[in_flat] = (_gmm_loglik(flat[in_flat], gmm_fg)
+                          - _gmm_loglik(flat[in_flat], gmm_bg))
+        ratio = ratio.reshape(h, w)
+        # pairwise stand-in: average the FG score over an edge-aware
+        # neighbourhood (smooth regions vote together, edges separate)
+        score = np.clip(ratio, -20, 20)
+        grad = np.linalg.norm(np.gradient(img01.mean(-1)), axis=0)
+        blend = np.exp(-(grad / max(grad.mean(), 1e-4)) ** 2)
+        sm = ndimage.uniform_filter(score, size=5)
+        score = blend * sm + (1 - blend) * score
+        new_fg = inside & (score > 0)
+        if (new_fg == fg).all():
+            fg = new_fg
+            break
+        fg = new_fg
+        if not fg.any():
+            break
 
     lab, n = ndimage.label(fg)
     if n:
@@ -96,6 +172,7 @@ def box_prompt_mask(img01: np.ndarray, box: Sequence[int],
             keep = 1 + np.bincount(lab[lab > 0]).argmax()
         fg = lab == keep
         fg = ndimage.binary_closing(fg, np.ones((3, 3)))
+        fg = ndimage.binary_fill_holes(fg)
     mask = fg.astype(np.float32)
     return mask[..., None].repeat(3, -1)
 
