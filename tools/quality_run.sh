@@ -16,13 +16,17 @@ STEPS=${2:-150000}
 mkdir -p "$ROOT"
 cd "$(dirname "$0")/.."
 
+# data gen on CPU: it's tiny (32^2 envs), and holding the TPU lease here
+# both delays training and risks a relay collision with any other client
+# (observed: a concurrent backend init killed a TPU-side env gen with
+# FAILED_PRECONDITION and set -e took the whole driver down)
 if [ ! -f "$ROOT/data/.done" ]; then
-  python tools/make_synthetic_data.py --out "$ROOT/data" \
+  UNIRENDER_PLATFORM=cpu python tools/make_synthetic_data.py --out "$ROOT/data" \
     --n-mesh 240 --n-env 32 --env-res 32 --env-min-res 8 --seed 0
   touch "$ROOT/data/.done"
 fi
 if [ ! -f "$ROOT/test/.done" ]; then
-  python tools/make_synthetic_data.py --out "$ROOT/test" \
+  UNIRENDER_PLATFORM=cpu python tools/make_synthetic_data.py --out "$ROOT/test" \
     --n-mesh 32 --n-env 8 --env-res 32 --env-min-res 8 --seed 99
   touch "$ROOT/test/.done"
 fi
