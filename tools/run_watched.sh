@@ -1,5 +1,12 @@
 #!/bin/bash
-# run_watched.sh "<command>" <progress_file> [stale_sec] [pidfile]
+# run_watched.sh "<command>" <progress_paths> [stale_sec] [pidfile]
+#
+# <progress_paths> is a COLON-separated list of files and/or directories;
+# the freshest mtime among those that exist counts as progress.  Pass
+# every side-effect the stage produces (metrics file AND the batch-pool
+# dir): round 3's VAE stage was killed mid-pool-render because the
+# watchdog only looked at the metrics file, which the trainer creates at
+# init and doesn't touch again until the ~70-min pool render finishes.
 #
 # Runs a (checkpoint-resumable) training stage and restarts it whenever its
 # progress file stops advancing — the axon TPU relay intermittently wedges
@@ -32,12 +39,20 @@ while true; do
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
     NOW=$(date +%s)
-    if [ -f "$PROGRESS" ]; then
-      REF=$(stat -c %Y "$PROGRESS")
+    NEWEST=0
+    IFS=':' read -ra PATHS <<< "$PROGRESS"
+    for P in "${PATHS[@]}"; do
+      if [ -e "$P" ]; then
+        T=$(stat -c %Y "$P")
+        [ "$T" -gt "$NEWEST" ] && NEWEST=$T
+      fi
+    done
+    if [ "$NEWEST" -gt 0 ] && [ "$NEWEST" -ge "$START" ]; then
+      REF=$NEWEST
       LIMIT=$STALE
-      # freshly (re)started process that hasn't written yet: compare to start
-      if [ "$REF" -lt "$START" ]; then REF=$START; LIMIT=$FIRST_STALE; fi
     else
+      # no progress artifact newer than this (re)start yet: allow
+      # compile + lease-reacquire time
       REF=$START
       LIMIT=$FIRST_STALE
     fi
