@@ -97,3 +97,37 @@ def test_metric_logger_tensorboard(tmp_path):
     ev = glob.glob(str(tmp_path / "tensorboard" / "events.out.tfevents.*"))
     assert ev, "no tensorboard event file written"
     assert os.path.getsize(ev[0]) > 0
+
+
+def test_lr_schedule_cosine():
+    """Warmup+cosine LR option (TrainConfig.lr_schedule): ramps from 0,
+    peaks at the configured lr after warmup, decays to end_factor*lr at
+    the horizon; optimizer still produces finite updates."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unirenderer_tpu.core import config
+    from unirenderer_tpu.train.train_step import (
+        make_lr_schedule, make_optimizer,
+    )
+
+    cfg = config.tiny()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, lr_schedule="cosine", learning_rate=1e-3,
+        lr_warmup_steps=10, lr_decay_steps=100, lr_end_factor=0.1))
+    sched = make_lr_schedule(cfg)
+    assert float(sched(0)) < 1e-4
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-4)
+    mid = float(sched(55))
+    assert 1e-4 < mid < 1e-3
+
+    opt = make_optimizer(cfg)
+    params = {"params": {"w": jnp.ones((4, 4))}}
+    state = opt.init(params["params"])
+    grads = {"w": jnp.full((4, 4), 0.5)}
+    updates, _ = opt.update(grads, state, params["params"])
+    assert np.isfinite(np.asarray(updates["w"])).all()

@@ -45,6 +45,7 @@ bash tools/run_watched.sh \
   "python tools/train.py --workdir '$ROOT/run' --config small \
      --mesh-dir '$ROOT/data/meshes' --env-dir '$ROOT/data/envs' \
      --steps $STEPS --batch-per-device 16 --lr 1.4e-4 \
+     --lr-schedule cosine --lr-warmup 1000 \
      --vae-ckpt '$ROOT/run/vae_checkpoints' \
      --cache-batches 640 --cache-dir '$ROOT/pool'" \
   "$ROOT/run/metrics.jsonl:$ROOT/pool:$ROOT/run/checkpoints" 600 "$ROOT/watchdog.pid"

@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--steps", type=int)
     ap.add_argument("--batch-per-device", type=int)
     ap.add_argument("--lr", type=float)
+    ap.add_argument("--lr-schedule", choices=("constant", "cosine"))
+    ap.add_argument("--lr-warmup", type=int,
+                    help="warmup steps (0 = none)")
+    ap.add_argument("--lr-decay-steps", type=int,
+                    help="cosine horizon; defaults to --steps")
     ap.add_argument("--fsdp", action="store_true")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--config", choices=("tiny", "small", "flagship"),
@@ -74,6 +79,13 @@ def main(argv=None):
         tr_over["batch_size_per_device"] = args.batch_per_device
     if args.lr:
         tr_over["learning_rate"] = args.lr
+    if args.lr_schedule:
+        tr_over["lr_schedule"] = args.lr_schedule
+        if args.lr_schedule == "cosine":
+            tr_over["lr_decay_steps"] = (args.lr_decay_steps or args.steps
+                                         or cfg.train.max_steps)
+    if args.lr_warmup is not None:
+        tr_over["lr_warmup_steps"] = args.lr_warmup
     if tr_over:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **tr_over))

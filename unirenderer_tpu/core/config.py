@@ -192,6 +192,12 @@ class TrainConfig:
     adam_weight_decay: float = 1e-2
     adam_eps: float = 1e-8
     max_grad_norm: float = 1.0
+    # LR schedule (beyond-reference: the ref fine-tunes SD at a constant
+    # 5e-6, train.sh:21-42; from-scratch runs want warmup + decay)
+    lr_schedule: str = "constant"        # "constant" | "cosine"
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int = 0              # cosine horizon (required if cosine)
+    lr_end_factor: float = 0.1           # final lr = learning_rate * this
     gradient_accumulation_steps: int = 1
     max_steps: int = 5_000_000
     checkpoint_every: int = 5000

@@ -34,11 +34,28 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def make_lr_schedule(cfg: SystemConfig):
+    """Scalar lr or an optax schedule per TrainConfig.lr_schedule."""
+    t = cfg.train
+    if t.lr_schedule == "cosine":
+        assert t.lr_decay_steps > 0, "cosine schedule needs lr_decay_steps"
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=t.learning_rate,
+            warmup_steps=max(t.lr_warmup_steps, 1),
+            decay_steps=t.lr_decay_steps,
+            end_value=t.learning_rate * t.lr_end_factor)
+    if t.lr_warmup_steps > 0:
+        return optax.linear_schedule(0.0, t.learning_rate,
+                                     t.lr_warmup_steps)
+    return t.learning_rate
+
+
 def make_optimizer(cfg: SystemConfig) -> optax.GradientTransformation:
     t = cfg.train
     opt = optax.chain(
         optax.clip_by_global_norm(t.max_grad_norm),
-        optax.adamw(t.learning_rate, b1=t.adam_beta1, b2=t.adam_beta2,
+        optax.adamw(make_lr_schedule(cfg), b1=t.adam_beta1,
+                    b2=t.adam_beta2,
                     eps=t.adam_eps, weight_decay=t.adam_weight_decay),
     )
     if t.gradient_accumulation_steps > 1:
