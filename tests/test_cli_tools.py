@@ -216,6 +216,38 @@ def test_run_inverse_external_mask_cli(tmp_path):
     assert (tmp_path / "out" / "normal" / "0.png").exists()
 
 
+def test_run_inverse_relight_cli(tmp_path):
+    """--relight-env: decompose once, re-light under a supplied latlong
+    env, save relit/0.png (the reference app's segment->decompose->
+    re-light flow as a CLI)."""
+    from PIL import Image
+    size = 64
+    img = (np.full((size, size, 3), 255, np.uint8))
+    img[16:48, 16:48] = [100, 120, 140]
+    p_img = str(tmp_path / "in.png")
+    Image.fromarray(img).save(p_img)
+    m = np.zeros((size, size), np.uint8)
+    m[16:48, 16:48] = 255
+    p_mask = str(tmp_path / "m.png")
+    Image.fromarray(m).save(p_mask)
+    env = np.full((8, 16, 3), 0.8, np.float32)
+    env[:4] = [1.5, 1.2, 0.9]                   # warm sky
+    p_env = str(tmp_path / "env.npy")
+    np.save(p_env, env)
+
+    env_vars = dict(os.environ, UNIRENDER_PLATFORM="cpu")
+    env_vars.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "unirenderer_tpu.eval.run_inverse",
+         "--image", p_img, "--mask", p_mask, "--out",
+         str(tmp_path / "out"), "--tiny", "--steps", "2",
+         "--ensemble", "1", "--relight-env", p_env],
+        capture_output=True, text=True, timeout=900, env=env_vars,
+        cwd=REPO)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (tmp_path / "out" / "relit" / "0.png").exists()
+
+
 def test_new_tool_helps():
     """Bench/data tools parse --help (no TPU needed)."""
     for tool in ("bench_attention", "bench_raster", "bench_train",

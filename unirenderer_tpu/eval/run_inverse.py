@@ -55,6 +55,12 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny random model (smoke only)")
+    ap.add_argument("--relight-env",
+                    help="HDR latlong (.hdr RGBE or .npy linear float) — "
+                    "additionally re-light the object under this "
+                    "environment (pipelines.relight; the reference app's "
+                    "segment -> decompose -> re-light flow) and save "
+                    "relit/0.png")
     args = ap.parse_args(argv)
 
     import jax
@@ -105,6 +111,20 @@ def main(argv=None):
     m = float(np.asarray(out["metallic"]).mean())
     r = float(np.asarray(out["roughness"]).mean())
     print(f"saved maps to {args.out}  metallic~{m:.3f} roughness~{r:.3f}")
+
+    if args.relight_env:
+        if args.relight_env.endswith(".npy"):
+            env_img = np.load(args.relight_env).astype(np.float32)
+        else:
+            from unirenderer_tpu.data.hdr import read_hdr
+            env_img = read_hdr(args.relight_env)
+        relit = pipe.relight(
+            image=image, mask=mask, new_env=jnp.asarray(env_img),
+            rng=jax.random.key(2), num_steps=args.steps,
+            decomposed=out)
+        save_image(os.path.join(args.out, "relit", "0.png"),
+                   (np.asarray(relit)[0] + 1) / 2)
+        print(f"saved relit image under {args.relight_env}")
 
 
 if __name__ == "__main__":

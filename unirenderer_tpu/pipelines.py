@@ -699,7 +699,8 @@ class UniRendererPipeline:
     def relight(self, *, image, mask, new_env, rng,
                 num_steps: Optional[int] = None,
                 ensemble: Optional[int] = None,
-                env_res: int = 128, env_samples: int = 64) -> jax.Array:
+                env_res: int = 128, env_samples: int = 64,
+                decomposed: Optional[dict] = None) -> jax.Array:
         """image+mask (B,H,W,3 in [-1,1]) + new environment -> re-lit RGB.
 
         Inverse-render the photo into intrinsics, then forward-render with
@@ -713,6 +714,9 @@ class UniRendererPipeline:
 
         `new_env`: an EnvLight, or an (H, W, 3) linear-HDR latlong image
         (prefiltered here at `env_res`/`env_samples` quality).
+        `decomposed`: a precomputed `real_image2mask_3mod_albedo` result
+        for this image (skips the inverse pass — the CLI reuses the maps
+        it already saved).
 
         Frames: decomposed normals are in the CANONICAL-camera frame
         (render/camera.canonical_normal_rotation — for a photo, the frame
@@ -726,9 +730,10 @@ class UniRendererPipeline:
         )
 
         k1, k2 = jax.random.split(rng)
-        dec = self.real_image2mask_3mod_albedo(
-            image=image, mask=mask, rng=k1, num_steps=num_steps,
-            ensemble=ensemble or 1)
+        dec = decomposed if decomposed is not None else (
+            self.real_image2mask_3mod_albedo(
+                image=image, mask=mask, rng=k1, num_steps=num_steps,
+                ensemble=ensemble or 1))
         # MASKED mean: dec["metallic"]/["roughness"] are mask-multiplied
         # (test_real.py:557-564), so a plain image mean would scale the
         # scalar down by the background fraction (round-2 VERDICT weak #2:
