@@ -39,17 +39,7 @@ def build_app(pipe=None, steps: int = 20, ensemble: int = 5):
 
     def decompose(image, mask_img, box_text):
         img01 = np.asarray(image, np.float32) / 255.0
-        if mask_img is not None:           # external mask (SAM2 etc.)
-            m = np.asarray(mask_img, np.float32)
-            if m.ndim == 3:
-                m = m[..., 0]
-            mask01 = ((m > 127).astype(np.float32)[..., None]
-                      .repeat(3, -1))
-        elif box_text:
-            mask01 = box_prompt_mask(
-                img01, [int(v) for v in box_text.split(",")])
-        else:
-            mask01 = auto_mask(img01)
+        mask01 = make_mask(img01, mask_img, box_text)
         out = pipe.real_image2mask_3mod_albedo(
             image=jnp.asarray(img01 * 2 - 1)[None],
             mask=jnp.asarray(mask01 * 2 - 1)[None],
@@ -61,6 +51,32 @@ def build_app(pipe=None, steps: int = 20, ensemble: int = 5):
         return (to_img(out["albedo"]), to_img(out["normal"]),
                 grey(out["metallic"]), grey(out["roughness"]),
                 to_img(out["spec_light"]), to_img(out["diff_light"]))
+
+    def make_mask(img01, mask_img, box_text):
+        if mask_img is not None:           # external mask (SAM2 etc.)
+            m = np.asarray(mask_img, np.float32)
+            if m.ndim == 3:
+                m = m[..., 0]
+            return ((m > 127).astype(np.float32)[..., None].repeat(3, -1))
+        if box_text:
+            return box_prompt_mask(
+                img01, [int(v) for v in box_text.split(",")])
+        return auto_mask(img01)
+
+    def relight(image, mask_img, box_text, env_img):
+        """Decompose + re-render under the uploaded environment (treated
+        as an LDR latlong, sRGB->linear) — pipelines.relight."""
+        if env_img is None:
+            raise ValueError("upload an environment image to relight")
+        img01 = np.asarray(image, np.float32) / 255.0
+        mask01 = make_mask(img01, mask_img, box_text)
+        env01 = (np.asarray(env_img, np.float32) / 255.0) ** 2.2
+        relit = pipe.relight(
+            image=jnp.asarray(img01 * 2 - 1)[None],
+            mask=jnp.asarray(mask01 * 2 - 1)[None],
+            new_env=jnp.asarray(env01), rng=jax.random.key(0),
+            num_steps=steps, ensemble=1)
+        return ((np.asarray(relit)[0] + 1) / 2 * 255).astype(np.uint8)
 
     with gr.Blocks(title="uni-renderer-tpu") as demo:
         gr.Markdown("# Uni-Renderer TPU — inverse rendering")
@@ -74,6 +90,12 @@ def build_app(pipe=None, steps: int = 20, ensemble: int = 5):
                 ("albedo", "normal", "metallic", "roughness",
                  "spec_light", "diff_light")]
         btn.click(decompose, inputs=[inp, mask_in, box_in], outputs=outs)
+        gr.Markdown("## Relight")
+        env_in = gr.Image(label="new environment (latlong)")
+        rbtn = gr.Button("Relight")
+        relit_out = gr.Image(label="relit")
+        rbtn.click(relight, inputs=[inp, mask_in, box_in, env_in],
+                   outputs=[relit_out])
     return demo
 
 
