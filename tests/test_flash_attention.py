@@ -97,3 +97,24 @@ def test_splash_attention_matches_reference():
     got = np.asarray(tpu_splash_attention(q, k, v, block_q=128,
                                           block_kv=128, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_xla_dpa_matches_reference():
+    """UNIRENDER_ATTN=xla_dpa routes through
+    jax.nn.dot_product_attention; parity vs the naive reference on CPU."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    b, s, h, d = 2, 128, 2, 16
+    ks = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, h, d), jnp.float32)
+
+    out = jax.nn.dot_product_attention(q, k, v)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits, -1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

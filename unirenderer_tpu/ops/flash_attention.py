@@ -109,8 +109,9 @@ def maybe_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array
 
     UNIRENDER_ATTN selects the kernel family for the tileable shapes
     without a code edit (A/B plumbing for tools/bench_attention.py +
-    bench.py): 'flash' (default), 'splash', or 'dmajor' (force the XLA
-    fallback everywhere)."""
+    bench.py): 'flash' (default), 'splash', 'xla_dpa'
+    (jax.nn.dot_product_attention — XLA's fused attention path), or
+    'dmajor' (force the d-major XLA fallback everywhere)."""
     import os
 
     b, s, h, d = q.shape
@@ -121,4 +122,6 @@ def maybe_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array
         return None
     if which == "splash":
         return tpu_splash_attention(q, k, v)
+    if which == "xla_dpa":
+        return jax.nn.dot_product_attention(q, k, v)
     return tpu_flash_attention(q, k, v)
