@@ -105,6 +105,10 @@ def main(argv=None):
             cands["splash"] = tpu_splash_attention
             cands["splash_bq4096"] = functools.partial(
                 tpu_splash_attention, block_q=4096, block_kv=512)
+            cands["splash_bq1024_bkv2048"] = functools.partial(
+                tpu_splash_attention, block_q=1024, block_kv=2048)
+            cands["splash_bq2048_bkv2048"] = functools.partial(
+                tpu_splash_attention, block_q=2048, block_kv=2048)
 
         def xla_dpa(q, k, v):
             return jax.nn.dot_product_attention(q, k, v)
