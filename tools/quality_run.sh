@@ -39,7 +39,7 @@ bash tools/run_watched.sh \
   "python tools/train_vae.py --workdir '$ROOT/run' --config small \
      --mesh-dir '$ROOT/data/meshes' --env-dir '$ROOT/data/envs' \
      --steps 8000 --batch 16 --cache-batches 640 --cache-dir '$ROOT/pool'" \
-  "$ROOT/run/vae_metrics.jsonl:$ROOT/pool:$ROOT/run/vae_checkpoints" 600 "$ROOT/watchdog.pid"
+  "$ROOT/run/vae_metrics.jsonl:$ROOT/pool:$ROOT/run/vae_checkpoints" 300 "$ROOT/watchdog.pid"
 
 bash tools/run_watched.sh \
   "python tools/train.py --workdir '$ROOT/run' --config small \
@@ -48,5 +48,5 @@ bash tools/run_watched.sh \
      --lr-schedule cosine --lr-warmup 1000 \
      --vae-ckpt '$ROOT/run/vae_checkpoints' \
      --cache-batches 640 --cache-dir '$ROOT/pool'" \
-  "$ROOT/run/metrics.jsonl:$ROOT/pool:$ROOT/run/checkpoints" 600 "$ROOT/watchdog.pid"
+  "$ROOT/run/metrics.jsonl:$ROOT/pool:$ROOT/run/checkpoints" 300 "$ROOT/watchdog.pid"
 echo "QUALITY RUN COMPLETE"
