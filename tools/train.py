@@ -37,6 +37,10 @@ def main(argv=None):
                     help="warmup steps (0 = none)")
     ap.add_argument("--lr-decay-steps", type=int,
                     help="cosine horizon; defaults to --steps")
+    ap.add_argument("--checkpoint-every", type=int,
+                    help="steps between checkpoint saves (each save is a "
+                    "full-state host transfer — the riskiest RPC through "
+                    "the relay; see PERF.md wedge notes)")
     ap.add_argument("--fsdp", action="store_true")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--config", choices=("tiny", "small", "flagship"),
@@ -86,6 +90,8 @@ def main(argv=None):
                                          or cfg.train.max_steps)
     if args.lr_warmup is not None:
         tr_over["lr_warmup_steps"] = args.lr_warmup
+    if args.checkpoint_every:
+        tr_over["checkpoint_every"] = args.checkpoint_every
     if tr_over:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **tr_over))
