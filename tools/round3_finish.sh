@@ -42,7 +42,7 @@ echo "=== $(date -u) waiting out the relay lease (patient probe)"
 timeout 1500 python -c 'import jax.numpy as jnp; print(jnp.ones((8,8)).sum())'
 echo "=== $(date -u) probe done rc=$?"
 
-STEP_INFO=$(ls /tmp/q3/run/checkpoints | tail -1)
+STEP_INFO=$(ls /tmp/q3/run/checkpoints | sort -t- -k2 -n | tail -1)
 echo "=== evaluating at $STEP_INFO"
 timeout 3900 python tools/eval_quality.py --config small \
   --mesh-dir /tmp/q3/test/meshes --env-dir /tmp/q3/test/envs \
