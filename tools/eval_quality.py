@@ -55,6 +55,10 @@ def main(argv=None):
                     help="also compute FID (needs n >= 8)")
     ap.add_argument("--lpips", action="store_true",
                     help="also compute LPIPS(fwd, GT)")
+    ap.add_argument("--inception-weights",
+                    help="torch InceptionV3 state dict to calibrate FID "
+                         "(eval/inception.py); without it the report "
+                         "carries fid_calibrated: false")
     ap.add_argument("--lpips-weights", nargs=2,
                     metavar=("VGG16_FEATURES.pt", "LPIPS_VGG.pt"),
                     help="torch state dicts to calibrate LPIPS "
@@ -81,13 +85,22 @@ def main(argv=None):
                                       dtype=jnp.bfloat16
                                       if name == "flagship"
                                       else jnp.float32)
+    ckpt_step = None
     if args.ckpt:
         from unirenderer_tpu.core.checkpoint import CheckpointManager
         cm = CheckpointManager(args.ckpt)
         restored = cm.restore_params()
-        if restored is not None:
-            pipe.dual_params = jax.tree.map(jnp.asarray, restored)
-            print(f"[eval] loaded checkpoint step {cm.latest_step()}")
+        # FAIL-HONEST (round-3 VERDICT weak #1/#3): a missing/empty
+        # checkpoint dir must ABORT, never silently eval random weights
+        # and stamp the report with the ckpt path.
+        if restored is None:
+            raise SystemExit(
+                f"[eval] FATAL: --ckpt {args.ckpt} has no restorable "
+                f"checkpoint; refusing to eval random weights under a "
+                f"trained label (pass no --ckpt for a harness check)")
+        pipe.dual_params = jax.tree.map(jnp.asarray, restored)
+        ckpt_step = cm.latest_step()
+        print(f"[eval] loaded checkpoint step {ckpt_step}")
     if args.vae_ckpt:
         from unirenderer_tpu.core.checkpoint import CheckpointManager
         vcm = CheckpointManager(args.vae_ckpt)
@@ -164,6 +177,8 @@ def main(argv=None):
         "normal_angle": norm_metric.summary(),
         "metal_rough_mae": float(np.mean(mr_mae)),
         "checkpoint": args.ckpt or "random-weights (harness check)",
+        "checkpoint_loaded": bool(args.ckpt),
+        "checkpoint_step": ckpt_step,
     }
     if args.lpips:
         from unirenderer_tpu.eval import lpips as lpips_mod
@@ -181,9 +196,23 @@ def main(argv=None):
 
     if args.fid and len(gt_images) * gt_images[0].shape[0] >= 8:
         from unirenderer_tpu.eval.inception import make_feature_fn
-        feat = make_feature_fn(batch=4)
+        inc_params = None
+        if args.inception_weights:
+            from unirenderer_tpu.eval.inception import (
+                InceptionV3Features, load_torch_inception,
+            )
+            from unirenderer_tpu.models.surgery import load_torch_state_dict
+            init_p = InceptionV3Features().init(
+                jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+            inc_params = load_torch_inception(
+                init_p, load_torch_state_dict(args.inception_weights))
+        feat = make_feature_fn(params=inc_params, batch=4)
         report["fid_forward_vs_gt"] = float(M.fid(
             np.concatenate(gt_images), np.concatenate(fwd_images), feat))
+        # mirror lpips_calibrated (round-3 ADVICE medium #3): a
+        # random-weight InceptionV3 gives collapsed features and
+        # near-zero FID regardless of image quality
+        report["fid_calibrated"] = bool(args.inception_weights)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=4,
                     help="scenes per batch (x8 modality maps = VAE batch)")
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lr-schedule", choices=("constant", "cosine"),
+                    default="constant")
+    ap.add_argument("--lr-warmup", type=int, default=500)
     ap.add_argument("--kl-weight", type=float, default=1e-6)
     ap.add_argument("--config", choices=("tiny", "small", "flagship"),
                     default="flagship")
@@ -88,8 +91,10 @@ def main(argv=None):
 
     state = train_vae(cfg, batches, args.workdir, args.steps, lr=args.lr,
                       kl_weight=args.kl_weight, seed=args.seed,
-                      dtype=jnp.float32)
-    print(f"finished at step {int(jax.device_get(state.step))}; "
+                      dtype=jnp.float32, lr_schedule=args.lr_schedule,
+                      lr_warmup=args.lr_warmup)
+    print(f"finished at step {int(jax.device_get(state.step))} "
+          f"(target {args.steps}); "
           f"checkpoints in {args.workdir}/vae_checkpoints")
 
 
