@@ -131,3 +131,43 @@ def test_lr_schedule_cosine():
     grads = {"w": jnp.full((4, 4), 0.5)}
     updates, _ = opt.update(grads, state, params["params"])
     assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_params_npz_roundtrip(tmp_path):
+    """Portable params export (tools/export_params.py): f16 .npz
+    round-trips the tree structure; values match to f16 precision; step
+    metadata survives; int leaves keep their dtype."""
+    from unirenderer_tpu.core.checkpoint import (
+        load_params_npz, save_params_npz,
+    )
+    params = {"params": {"conv": {"kernel": np.random.randn(3, 3, 4, 8)
+                                  .astype(np.float32),
+                                  "bias": np.zeros(8, np.float32)},
+                         "emb": {"table": np.arange(12, dtype=np.int32)}}}
+    path = str(tmp_path / "p.npz")
+    save_params_npz(path, params, step=1234, dtype="float16")
+    loaded, step = load_params_npz(path)
+    assert step == 1234
+    assert loaded["params"]["emb"]["table"].dtype == np.int32
+    k = loaded["params"]["conv"]["kernel"]
+    assert k.dtype == np.float32          # upcast on load
+    np.testing.assert_allclose(k, params["params"]["conv"]["kernel"],
+                               atol=1e-3)
+    # jax tree structure identical
+    assert (jax.tree_util.tree_structure(loaded)
+            == jax.tree_util.tree_structure(params))
+
+
+def test_trainer_install_dual_warm_start(tmp_path):
+    """--init-params path: install_dual replaces params and resets the
+    optimizer; training still steps."""
+    cfg = small_cfg()
+    tr = Trainer(cfg, str(tmp_path / "a"), n_devices=1, dtype=jnp.float32)
+    warm = jax.tree.map(lambda x: np.asarray(x) + 1.0,
+                        jax.device_get(tr.state.params))
+    tr.install_dual(warm)
+    got = jax.tree_util.tree_leaves(jax.device_get(tr.state.params))[0]
+    want = jax.tree_util.tree_leaves(warm)[0]
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+    state = tr.train(synthetic_batches(cfg, batch=2), max_steps=1)
+    assert int(jax.device_get(state.step)) == 1

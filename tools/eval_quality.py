@@ -86,7 +86,13 @@ def main(argv=None):
                                       if name == "flagship"
                                       else jnp.float32)
     ckpt_step = None
-    if args.ckpt:
+    if args.ckpt and args.ckpt.endswith(".npz"):
+        # portable params-only export (tools/export_params.py)
+        from unirenderer_tpu.core.checkpoint import load_params_npz
+        restored, ckpt_step = load_params_npz(args.ckpt)
+        pipe.dual_params = jax.tree.map(jnp.asarray, restored)
+        print(f"[eval] loaded npz params (step {ckpt_step})")
+    elif args.ckpt:
         from unirenderer_tpu.core.checkpoint import CheckpointManager
         cm = CheckpointManager(args.ckpt)
         restored = cm.restore_params()
@@ -101,7 +107,12 @@ def main(argv=None):
         pipe.dual_params = jax.tree.map(jnp.asarray, restored)
         ckpt_step = cm.latest_step()
         print(f"[eval] loaded checkpoint step {ckpt_step}")
-    if args.vae_ckpt:
+    if args.vae_ckpt and args.vae_ckpt.endswith(".npz"):
+        from unirenderer_tpu.core.checkpoint import load_params_npz
+        vae_p, vstep = load_params_npz(args.vae_ckpt)
+        pipe.vae_params = jax.tree.map(jnp.asarray, vae_p)
+        print(f"[eval] loaded VAE npz params (step {vstep})")
+    elif args.vae_ckpt:
         from unirenderer_tpu.core.checkpoint import CheckpointManager
         vcm = CheckpointManager(args.vae_ckpt)
         vae_p = vcm.restore_params()

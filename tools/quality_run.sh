@@ -1,18 +1,22 @@
 #!/bin/bash
-# Self-contained round-3 quality run (VERDICT round-2 "do this" #1):
-# diverse synthetic set -> VAE pre-train -> long dual-stream training.
-# All stages resume from checkpoints, so the script is safe to re-run.
+# Self-contained quality run (round 4: VERDICT round-3 "do this" #1 —
+# train the dual-stream model FOR REAL, launched in the round's first hour):
+# diverse synthetic set -> VAE pre-train (warmup-cosine) -> long dual-stream
+# training.  All stages resume from checkpoints, so the script is safe to
+# re-run.
 #
-#   nohup bash tools/quality_run.sh /tmp/q3 > /tmp/q3_driver.log 2>&1 &
+#   nohup bash tools/quality_run.sh /tmp/q4 60000 > /tmp/q4/driver.log 2>&1 &
+#   echo $! > /tmp/q4/driver.pid        # used by tools/round4_finish.sh
 #
 # Afterwards:
 #   python tools/eval_quality.py --config small \
 #       --mesh-dir $ROOT/test/meshes --env-dir $ROOT/test/envs \
 #       --ckpt $ROOT/run/checkpoints --vae-ckpt $ROOT/run/vae_checkpoints \
-#       --n 32 --fid --lpips --out QUALITY_r03.json
+#       --n 32 --lpips --out QUALITY_r04.json
 set -e
-ROOT=${1:-/tmp/q3}
-STEPS=${2:-150000}
+ROOT=${1:-/tmp/q4}
+STEPS=${2:-60000}
+VAE_STEPS=${3:-16000}
 mkdir -p "$ROOT"
 cd "$(dirname "$0")/.."
 
@@ -22,9 +26,11 @@ cd "$(dirname "$0")/.."
 # FAILED_PRECONDITION and set -e took the whole driver down)
 if [ ! -f "$ROOT/data/.done" ]; then
   UNIRENDER_PLATFORM=cpu python tools/make_synthetic_data.py --out "$ROOT/data" \
-    --n-mesh 240 --n-env 32 --env-res 32 --env-min-res 8 --seed 0
+    --n-mesh 360 --n-env 48 --env-res 32 --env-min-res 8 --seed 0
   touch "$ROOT/data/.done"
 fi
+# held-out test set: SAME recipe/seed as rounds 2-3 (32 meshes / 8 envs,
+# seed 99) so quality_baseline_random.json stays comparable
 if [ ! -f "$ROOT/test/.done" ]; then
   UNIRENDER_PLATFORM=cpu python tools/make_synthetic_data.py --out "$ROOT/test" \
     --n-mesh 32 --n-env 8 --env-res 32 --env-min-res 8 --seed 99
@@ -32,21 +38,23 @@ if [ ! -f "$ROOT/test/.done" ]; then
 fi
 
 # VAE first (no SD weights in a zero-egress environment); renders the
-# shared 640-batch pool on the first pass.  Both training stages run under
+# shared 800-batch pool on the first pass.  Both training stages run under
 # the relay-stall watchdog (tools/run_watched.sh): they resume from their
-# checkpoints after a restart.
+# checkpoints after a restart.  Round-4 VAE: cosine decay + more steps —
+# the round-3 29.6dB recon capped every downstream map metric (VERDICT #6).
 bash tools/run_watched.sh \
   "python tools/train_vae.py --workdir '$ROOT/run' --config small \
      --mesh-dir '$ROOT/data/meshes' --env-dir '$ROOT/data/envs' \
-     --steps 8000 --batch 16 --cache-batches 640 --cache-dir '$ROOT/pool'" \
+     --steps $VAE_STEPS --batch 16 --lr 1.5e-4 --lr-schedule cosine \
+     --lr-warmup 500 --cache-batches 800 --cache-dir '$ROOT/pool'" \
   "$ROOT/run/vae_metrics.jsonl:$ROOT/pool:$ROOT/run/vae_checkpoints" 300 "$ROOT/watchdog.pid"
 
 bash tools/run_watched.sh \
   "python tools/train.py --workdir '$ROOT/run' --config small \
-     --mesh-dir '$ROOT/data/meshes' --env-dir '$ROOT/data/envs' \
      --steps $STEPS --batch-per-device 16 --lr 1.4e-4 \
      --lr-schedule cosine --lr-warmup 1000 \
+     --mesh-dir '$ROOT/data/meshes' --env-dir '$ROOT/data/envs' \
      --vae-ckpt '$ROOT/run/vae_checkpoints' \
-     --cache-batches 640 --cache-dir '$ROOT/pool'" \
+     --cache-batches 800 --cache-dir '$ROOT/pool'" \
   "$ROOT/run/metrics.jsonl:$ROOT/pool:$ROOT/run/checkpoints" 300 "$ROOT/watchdog.pid"
 echo "QUALITY RUN COMPLETE"

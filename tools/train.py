@@ -49,7 +49,11 @@ def main(argv=None):
                     help="alias for --config tiny")
     ap.add_argument("--vae-ckpt",
                     help="frozen VAE from tools/train_vae.py "
-                         "(<workdir>/vae_checkpoints)")
+                         "(<workdir>/vae_checkpoints, or a .npz export)")
+    ap.add_argument("--init-params",
+                    help="warm-start dual-stream params from a .npz export "
+                         "(tools/export_params.py); optimizer starts fresh; "
+                         "an orbax resume in --workdir still wins")
     ap.add_argument("--random-camera", action="store_true")
     ap.add_argument("--resolution", type=int,
                     help="render resolution (default: config's)")
@@ -104,7 +108,12 @@ def main(argv=None):
                       else jnp.float32,
                       report_to=tuple(args.report_to.split(",")))
 
-    if args.vae_ckpt:
+    if args.vae_ckpt and args.vae_ckpt.endswith(".npz"):
+        from unirenderer_tpu.core.checkpoint import load_params_npz
+        vae_p, vstep = load_params_npz(args.vae_ckpt)
+        trainer.install_vae(jax.tree.map(jnp.asarray, vae_p))
+        print(f"[train] frozen VAE from {args.vae_ckpt} step {vstep}")
+    elif args.vae_ckpt:
         from unirenderer_tpu.core.checkpoint import CheckpointManager
         vcm = CheckpointManager(args.vae_ckpt)
         vae_p = vcm.restore_params()
@@ -112,6 +121,13 @@ def main(argv=None):
         trainer.install_vae(jax.tree.map(jnp.asarray, vae_p))
         print(f"[train] frozen VAE from {args.vae_ckpt} "
               f"step {vcm.latest_step()}")
+
+    if args.init_params:
+        from unirenderer_tpu.core.checkpoint import load_params_npz
+        dual_p, pstep = load_params_npz(args.init_params)
+        trainer.install_dual(jax.tree.map(jnp.asarray, dual_p))
+        print(f"[train] warm-start dual params from {args.init_params} "
+              f"(exported at step {pstep})")
 
     # optional SD weight port (reference from_pretrained + surgery path)
     if args.sd_unet:

@@ -157,25 +157,27 @@ def sample_cubemap(cube: jax.Array, dirs: jax.Array,
     fy = (y + 1.0) * 0.5 * res - 0.5
     x0u = jnp.floor(fx).astype(jnp.int32)        # may be -1 .. res-1
     y0u = jnp.floor(fy).astype(jnp.int32)
-    wx = jnp.clip(fx - x0u, 0.0, 1.0)[..., None]
-    wy = jnp.clip(fy - y0u, 0.0, 1.0)[..., None]
+    wx = jnp.clip(fx - x0u, 0.0, 1.0)
+    wy = jnp.clip(fy - y0u, 0.0, 1.0)
 
     if seamless:
-        def tap(yy, xx):
+        def lin_tap(yy, xx):
             f, r, c = _seamless_tap_index(face, xx, yy, res)
-            return cube[f, r, c]
+            return (f * res + r) * res + c
     else:
-        def tap(yy, xx):
-            return cube[face, jnp.clip(yy, 0, res - 1),
-                        jnp.clip(xx, 0, res - 1)]
+        def lin_tap(yy, xx):
+            return ((face * res + jnp.clip(yy, 0, res - 1)) * res
+                    + jnp.clip(xx, 0, res - 1))
 
-    c00 = tap(y0u, x0u)
-    c01 = tap(y0u, x0u + 1)
-    c10 = tap(y0u + 1, x0u)
-    c11 = tap(y0u + 1, x0u + 1)
-    top = c00 * (1 - wx) + c01 * wx
-    bot = c10 * (1 - wx) + c11 * wx
-    return top * (1 - wy) + bot * wy
+    # per-channel 1-D gathers — a (..., C) gather output would be
+    # lane-padded C->128 on TPU (the 512^2 collate OOM, ops/gather.py)
+    from unirenderer_tpu.ops.gather import gather_rows_weighted
+    lins = (lin_tap(y0u, x0u), lin_tap(y0u, x0u + 1),
+            lin_tap(y0u + 1, x0u), lin_tap(y0u + 1, x0u + 1))
+    wts = ((1 - wx) * (1 - wy), wx * (1 - wy),
+           (1 - wx) * wy, wx * wy)
+    return gather_rows_weighted(
+        cube.reshape(6 * res * res, cube.shape[-1]), lins, wts)
 
 
 def sample_cubemap_mip(mips, dirs: jax.Array,

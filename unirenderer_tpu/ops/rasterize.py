@@ -280,14 +280,16 @@ def interpolate(attr: jax.Array, rast: RastOutput,
     attr (V, A); tri (T, 3).  Returns (image (H, W, A), mask (H, W, 1)).
     """
     tid = jnp.maximum(rast.tri_id - 1, 0)
-    v = tri[tid]                                          # (H,W,3)
-    a0 = attr[v[..., 0]]
-    a1 = attr[v[..., 1]]
-    a2 = attr[v[..., 2]]
-    u = rast.bary_u[..., None]
-    vv = rast.bary_v[..., None]
+    # per-slot / per-channel 1-D gathers: a (H,W,3) gather output would be
+    # lane-padded 3->128 on TPU (the 512^2 collate OOM — ops/gather.py)
+    i0 = tri[:, 0][tid]                                   # (H,W) each
+    i1 = tri[:, 1][tid]
+    i2 = tri[:, 2][tid]
+    u = rast.bary_u
+    vv = rast.bary_v
     w = 1.0 - u - vv
-    out = a0 * u + a1 * vv + a2 * w
+    from unirenderer_tpu.ops.gather import gather_rows_weighted
+    out = gather_rows_weighted(attr, (i0, i1, i2), (u, vv, w))
     mask = (rast.tri_id > 0)[..., None]
     return jnp.where(mask, out, 0.0), mask.astype(attr.dtype)
 

@@ -126,7 +126,8 @@ def render_mesh(mesh: Mesh, mvp: jax.Array, campos: jax.Array,
     face_nrm = jnp.cross(v_pos[i1] - v_pos[i0], v_pos[i2] - v_pos[i0])
     face_nrm = bsdf.safe_normalize(face_nrm)
     tid = jnp.maximum(rast.tri_id - 1, 0)
-    gb_geom_nrm = face_nrm[tid]
+    from unirenderer_tpu.ops.gather import gather_rows
+    gb_geom_nrm = gather_rows(face_nrm, tid)   # lane-friendly (ops/gather)
 
     # albedo
     if kd_texture is not None:

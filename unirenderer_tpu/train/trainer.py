@@ -91,6 +91,13 @@ class Trainer:
             self.ctx = self._blank_ctx(text_params)
             self.ctx_r = pmesh.replicate(self.ctx, self.mesh)
 
+    def install_dual(self, dual_params) -> None:
+        """Warm-start the dual-stream params (tools/export_params.py .npz
+        from a previous round); optimizer state starts fresh.  A later
+        orbax resume (maybe_resume) still wins over this init."""
+        self.state = pmesh.replicate(
+            create_train_state(self.cfg, dual_params), self.mesh)
+
     def install_vae(self, vae_params) -> None:
         """Install pre-trained VAE params (tools/train_vae.py output) —
         the zero-egress replacement for the reference's downloaded
