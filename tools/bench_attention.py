@@ -120,7 +120,14 @@ def main(argv=None):
             try:
                 ms = chain(fn, args.iters)
             except Exception as e:          # record, keep comparing
-                results[key][name] = f"ERROR {type(e).__name__}: {e}"[:200]
+                # first line only, control chars stripped — raw relay
+                # errors embed ANSI sequences that pollute the committed
+                # artifact (round-3 ADVICE low #4)
+                import re
+                msg = str(e).splitlines()[0] if str(e) else ""
+                msg = re.sub(r"\x1b\[[0-9;]*[A-Za-z]|[\x00-\x08\x0b-\x1f]",
+                             "", msg)
+                results[key][name] = f"ERROR {type(e).__name__}: {msg}"[:200]
                 continue
             results[key][name] = round(ms, 3)
         print(key, results[key], flush=True)

@@ -103,12 +103,18 @@ def main(argv=None):
         if len(times) >= 3:
             break
     ms = sorted(times)[len(times) // 2] if times else float("nan")
+    try:   # peak HBM if the backend exposes it (the axon relay may not)
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak_hbm_gb = round(stats.get("peak_bytes_in_use", 0) / 1e9, 2)
+    except Exception:
+        peak_hbm_gb = None
     print(json.dumps({
         "metric": "train_step_ms_512_flagship",
         "value": round(ms, 1),
         "samples_per_sec_per_chip": round(b / (ms / 1000.0), 3),
         "batch": b, "flash": not args.no_flash,
         "compile_s": round(compile_s, 1), "last_loss": round(loss, 4),
+        "peak_hbm_gb": peak_hbm_gb,
     }))
 
 

@@ -1,0 +1,117 @@
+#!/bin/bash
+# round4_finish.sh <deadline_epoch_s>
+#
+# End-of-round driver: at the deadline, stop the watched quality run, wait
+# out the relay lease, then produce round-4 artifacts in priority order,
+# COMMITTING AFTER EACH ONE.  Round-3 post-mortem rules (VERDICT weak
+# #1/#4): an artifact is committed ONLY if it is non-empty AND parses as
+# JSON; failures are recorded as explicit error stanzas, never as empty
+# files or mislabeled successes.
+#   1. artifacts/r04/*.npz + metrics tails — durable trained state
+#   2. QUALITY_r04.json — eval of the RESTORED checkpoint (hard-fails on a
+#      missing checkpoint by construction — tools/eval_quality.py)
+#   3. QUALITY_r04_random_baseline.json — same harness/VAE, random dual
+#   4. TRAIN512_r04.json — flagship 512^2 train step on the chip
+#   5. COLLATE_r04_{64,512}.json — jitted collate after the gather fix
+#   6. ATTN_AB_r04.json — attention A/B incl. the new auto routing
+# Logged to /tmp/q4/finish.log.
+set -u
+DEADLINE=${1:?deadline epoch}
+ROOT=${2:-/tmp/q4}
+cd /root/repo
+exec >> "$ROOT/finish.log" 2>&1
+
+json_ok() {  # non-empty AND parseable
+  [ -s "$1" ] && python -c "import json,sys; json.load(open(sys.argv[1]))" "$1" 2>/dev/null
+}
+
+commit_json() {  # commit_json <file> <msg> — only if valid JSON
+  if json_ok "$1"; then
+    git add "$1" && git commit -m "$2" && echo "=== committed $1"
+  else
+    echo "=== NOT committing $1 (missing/empty/unparseable)"
+    rm -f "$1"
+  fi
+}
+
+echo "=== finish script armed; deadline $(date -ud @"$DEADLINE" 2>/dev/null || echo "$DEADLINE")"
+while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  sleep 30
+  [ -f "$ROOT/finish.started" ] && exit 0
+  # if the run already completed, start finishing early
+  grep -q "QUALITY RUN COMPLETE" "$ROOT/driver.log" 2>/dev/null && break
+done
+touch "$ROOT/finish.started"
+echo "=== $(date -u) deadline/complete; stopping training"
+
+# order matters: outer driver first (else it launches the next stage),
+# then the watchdog restart loop, then the stage's whole process group.
+[ -f "$ROOT/driver.pid" ] && kill "$(cat "$ROOT/driver.pid")" 2>/dev/null
+[ -f "$ROOT/watchdog.pid" ] && kill "$(cat "$ROOT/watchdog.pid")" 2>/dev/null
+if [ -f "$ROOT/watchdog.pid.child" ]; then
+  CPID=$(cat "$ROOT/watchdog.pid.child")
+  kill -- "-$CPID" 2>/dev/null
+  sleep 20
+  kill -9 -- "-$CPID" 2>/dev/null
+fi
+
+echo "=== $(date -u) waiting out the relay lease (patient probe)"
+timeout 1500 python -c 'import jax.numpy as jnp; print(jnp.ones((8,8)).sum())'
+echo "=== $(date -u) probe done rc=$?"
+
+# ---- 1. durable trained state --------------------------------------------
+mkdir -p artifacts/r04
+UNIRENDER_PLATFORM=cpu timeout 900 python tools/export_params.py \
+  --ckpt "$ROOT/run/checkpoints" --out artifacts/r04/dual_small.npz
+UNIRENDER_PLATFORM=cpu timeout 600 python tools/export_params.py \
+  --ckpt "$ROOT/run/vae_checkpoints" --out artifacts/r04/vae_small.npz
+tail -200 "$ROOT/run/metrics.jsonl" > artifacts/r04/metrics_tail.jsonl 2>/dev/null
+tail -100 "$ROOT/run/vae_metrics.jsonl" > artifacts/r04/vae_metrics_tail.jsonl 2>/dev/null
+if [ -s artifacts/r04/dual_small.npz ]; then
+  git add artifacts/r04 && git commit -m "Round-4 trained weights (params-only f16 npz, config.small) + train metrics tails — durable across VMs; restorable via eval_quality/train --ckpt/--init-params .npz"
+  echo "=== committed artifacts/r04"
+else
+  echo "=== NO dual checkpoint to export; committing VAE/metrics only if present"
+  git add artifacts/r04 2>/dev/null && git commit -m "Round-4 VAE weights / metrics tails (dual-stream checkpoint absent)" || true
+fi
+
+# ---- 2. quality eval (hard-fails on missing checkpoint) -------------------
+timeout 3000 python tools/eval_quality.py --config small \
+  --mesh-dir "$ROOT/test/meshes" --env-dir "$ROOT/test/envs" \
+  --ckpt "$ROOT/run/checkpoints" --vae-ckpt "$ROOT/run/vae_checkpoints" \
+  --n 32 --steps 20 --lpips --out QUALITY_r04.json
+echo "=== $(date -u) eval rc=$?"
+STEP=$(python -c "import json; print(json.load(open('QUALITY_r04.json'))['checkpoint_step'])" 2>/dev/null || echo "?")
+commit_json QUALITY_r04.json "QUALITY_r04: held-out eval of the restored round-4 checkpoint (step $STEP, n=32, LPIPS; FID omitted — uncalibrated without ported Inception weights)"
+
+# ---- 3. random-dual baseline, same harness + same trained VAE -------------
+timeout 3000 python tools/eval_quality.py --config small \
+  --mesh-dir "$ROOT/test/meshes" --env-dir "$ROOT/test/envs" \
+  --vae-ckpt "$ROOT/run/vae_checkpoints" \
+  --n 32 --steps 20 --lpips --out QUALITY_r04_random_baseline.json
+echo "=== $(date -u) baseline eval rc=$?"
+commit_json QUALITY_r04_random_baseline.json "QUALITY_r04 random-dual baseline: same harness, same trained VAE, random dual-stream weights (n=32) — the no-training control"
+
+# ---- 4. flagship 512^2 train step on the chip -----------------------------
+timeout 2400 python tools/bench_train.py --batch 4 --iters 2 | tail -1 > TRAIN512_r04.json
+if ! json_ok TRAIN512_r04.json; then
+  echo "=== batch 4 failed; retrying batch 2"
+  timeout 2400 python tools/bench_train.py --batch 2 --iters 2 | tail -1 > TRAIN512_r04.json
+fi
+commit_json TRAIN512_r04.json "TRAIN512_r04: flagship 512^2 dual-schedule train step measured on the v5e (bf16/f32, remat, full loss incl. cycle)"
+
+# ---- 5. jitted collate after the lane-friendly gather fix -----------------
+timeout 1200 python tools/bench_collate.py --mesh-dir "$ROOT/data/meshes" \
+  --env-dir "$ROOT/data/envs" --batch 16 --resolution 64 \
+  | tail -1 > COLLATE_r04_64.json
+commit_json COLLATE_r04_64.json "COLLATE_r04 64^2: jitted render-collate throughput (train shape) after the per-channel gather fix"
+timeout 1800 python tools/bench_collate.py --mesh-dir "$ROOT/data/meshes" \
+  --env-dir "$ROOT/data/envs" --batch 4 --resolution 512 --iters 5 \
+  | tail -1 > COLLATE_r04_512.json
+commit_json COLLATE_r04_512.json "COLLATE_r04 512^2: jitted render-collate at the reference's training resolution (batch 4, SSAA 2) — the round-3 OOM shape, now lane-friendly gathers"
+
+# ---- 6. attention A/B with the adopted auto routing -----------------------
+timeout 1500 python tools/bench_attention.py | tail -1 > ATTN_AB_r04.json
+commit_json ATTN_AB_r04.json "ATTN_AB_r04: attention kernel A/B (dmajor/flash/splash/xla_dpa) — default routing now auto (xla_dpa at S4096/D40, flash at S1024/D80)"
+
+echo "=== $(date -u) finish script complete"

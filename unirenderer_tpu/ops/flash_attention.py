@@ -102,6 +102,15 @@ def tpu_splash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.transpose(0, 2, 1, 3)
 
 
+def auto_kernel(s: int, d: int) -> str:
+    """Per-shape kernel choice from the measured A/B (ATTN_AB_r03.json,
+    v5e, B16 H8 bf16): at S4096/D40 — the 83%-FLOPs bucket — xla_dpa
+    8.39ms beats flash 9.86ms (PERF.md roofline: the flash kernel's
+    online-softmax VPU phase doesn't fully hide behind the D=40 padded
+    matmuls); at S1024/D80 flash 1.72ms beats xla_dpa 2.84ms."""
+    return "xla_dpa" if (s >= 4096 and d <= 64) else "flash"
+
+
 def maybe_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array
                           ) -> Optional[jax.Array]:
     """Run the fused kernel if shapes/backend allow, else None (caller
@@ -109,15 +118,17 @@ def maybe_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array
 
     UNIRENDER_ATTN selects the kernel family for the tileable shapes
     without a code edit (A/B plumbing for tools/bench_attention.py +
-    bench.py): 'flash' (default), 'splash', 'xla_dpa'
-    (jax.nn.dot_product_attention — XLA's fused attention path), or
-    'dmajor' (force the d-major XLA fallback everywhere)."""
+    bench.py): 'auto' (default, per-shape winner), 'flash', 'splash',
+    'xla_dpa' (jax.nn.dot_product_attention — XLA's fused attention
+    path), or 'dmajor' (force the d-major XLA fallback everywhere)."""
     import os
 
     b, s, h, d = q.shape
     if not flash_attention_available(s, d, sk=k.shape[1]):
         return None
-    which = os.environ.get("UNIRENDER_ATTN", "flash")
+    which = os.environ.get("UNIRENDER_ATTN", "auto")
+    if which == "auto":
+        which = auto_kernel(s, d)
     if which == "dmajor":
         return None
     if which == "splash":
