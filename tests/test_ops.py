@@ -369,3 +369,55 @@ def test_fused_groupnorm_gradients():
         argnums=(0, 1, 2))(x, sc, bi)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_texture_mip_atlas_matches_dense_reference():
+    """The 2-level atlas trilinear sampler must equal the dense
+    all-levels formulation (weights clip(1-|lvl-li|,0,1)) it replaced."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unirenderer_tpu.ops import texture as tex
+
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.random((32, 32, 3)), jnp.float32)
+    mips = tex.build_texture_mips(base)
+    uv = jnp.asarray(rng.random((4, 17, 2)), jnp.float32) * 1.4 - 0.2
+    lvl = jnp.asarray(rng.random((4, 17)), jnp.float32) * (len(mips) + 1) - 1
+
+    for wrap in ("wrap", "clamp"):
+        dense = None
+        lv = jnp.clip(lvl, 0.0, len(mips) - 1.0)
+        for li in range(len(mips)):
+            w = jnp.clip(1.0 - jnp.abs(lv - li), 0.0, 1.0)[..., None]
+            s = tex.sample_texture2d(mips[li], uv, wrap=wrap)
+            dense = s * w if dense is None else dense + s * w
+        got = tex.sample_texture2d_mip(mips, uv, mip_level=lvl, wrap=wrap)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_cubemap_mip_atlas_matches_dense_reference():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unirenderer_tpu.ops.cubemap import sample_cubemap, sample_cubemap_mip
+
+    rng = np.random.default_rng(1)
+    mips = [jnp.asarray(rng.random((6, r, r, 3)), jnp.float32)
+            for r in (16, 8, 4)]
+    dirs = jnp.asarray(rng.standard_normal((5, 13, 3)), jnp.float32)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    lvl = jnp.asarray(rng.random((5, 13)), jnp.float32) * 3.5 - 0.5
+
+    lv = jnp.clip(lvl, 0.0, len(mips) - 1.0)
+    dense = None
+    for li in range(len(mips)):
+        w = jnp.clip(1.0 - jnp.abs(lv - li), 0.0, 1.0)[..., None]
+        s = sample_cubemap(mips[li], dirs)
+        dense = s * w if dense is None else dense + s * w
+    got = sample_cubemap_mip(mips, dirs, lvl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                               atol=1e-5, rtol=1e-5)

@@ -190,12 +190,55 @@ def sample_cubemap_mip(mips, dirs: jax.Array,
     """
     n = len(mips)
     lvl = jnp.clip(mip_level, 0.0, n - 1.0)
-    out = None
-    for li in range(n):
-        w = jnp.clip(1.0 - jnp.abs(lvl - li), 0.0, 1.0)[..., None]
-        s = sample_cubemap(mips[li], dirs)
-        out = s * w if out is None else out + s * w
-    return out
+    if n == 1:
+        return sample_cubemap(mips[0], dirs)
+
+    # Flat mip ATLAS + only the TWO bracketing levels (8 seamless taps),
+    # not dense taps at every level with mostly-zero weights (4n).  The
+    # per-level resolution becomes a per-pixel value via a tiny table
+    # lookup — all the seamless edge math is elementwise in `res`, so it
+    # vectorizes unchanged.  Taps are per-channel 1-D gathers
+    # (ops/gather.py — the 512^2 collate layout rule).
+    import numpy as _np
+    c = mips[0].shape[-1]
+    atlas = jnp.concatenate([m.reshape(-1, c) for m in mips], axis=0)
+    res_t = jnp.asarray([m.shape[1] for m in mips], jnp.int32)
+    offs = jnp.asarray(_np.concatenate(
+        [[0], _np.cumsum([6 * m.shape[1] * m.shape[1] for m in mips])[:-1]]),
+        jnp.int32)
+    l0 = jnp.floor(lvl).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n - 1)
+    f = lvl - l0.astype(lvl.dtype)
+
+    face, x, y = dir_to_cube_uv(dirs)          # level-independent
+
+    def level_taps(li):
+        res = jnp.take(res_t, li)              # per-pixel level size
+        off = jnp.take(offs, li)
+        fres = res.astype(x.dtype)
+        fx = (x + 1.0) * 0.5 * fres - 0.5
+        fy = (y + 1.0) * 0.5 * fres - 0.5
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        wx = jnp.clip(fx - x0, 0.0, 1.0)
+        wy = jnp.clip(fy - y0, 0.0, 1.0)
+
+        def lin_tap(yy, xx):
+            fo, yo, xo = _seamless_tap_index(face, xx, yy, res)
+            return off + (fo * res + yo) * res + xo
+
+        lins = (lin_tap(y0, x0), lin_tap(y0, x0 + 1),
+                lin_tap(y0 + 1, x0), lin_tap(y0 + 1, x0 + 1))
+        wts = ((1 - wx) * (1 - wy), wx * (1 - wy),
+               (1 - wx) * wy, wx * wy)
+        return lins, wts
+
+    lins0, wts0 = level_taps(l0)
+    lins1, wts1 = level_taps(l1)
+    from unirenderer_tpu.ops.gather import gather_rows_weighted
+    return gather_rows_weighted(
+        atlas, lins0 + lins1,
+        tuple(w * (1 - f) for w in wts0) + tuple(w * f for w in wts1))
 
 
 # ---------------------------------------------------------------------------

@@ -110,12 +110,58 @@ def sample_texture2d_mip(mips, uv: jax.Array,
             mip_level = uv_mip_level(uv_deriv, mips[0].shape[1],
                                      mips[0].shape[0])
     lvl = jnp.clip(mip_level, 0.0, n - 1.0)
-    out = None
-    for li in range(n):
-        w = jnp.clip(1.0 - jnp.abs(lvl - li), 0.0, 1.0)[..., None]
-        s = sample_texture2d(mips[li], uv, wrap=wrap)
-        out = s * w if out is None else out + s * w
-    return out
+    if n == 1:
+        return sample_texture2d(mips[0], uv, wrap=wrap)
+
+    # Flat mip ATLAS + only the TWO bracketing levels (8 taps total),
+    # instead of dense bilinear taps at every level with mostly-zero
+    # weights (4n taps).  Per-level size/offset become per-pixel values
+    # via tiny table lookups; all taps are per-channel 1-D gathers
+    # (ops/gather.py — the 512^2 collate layout rule).
+    c = mips[0].shape[-1]
+    atlas = jnp.concatenate([m.reshape(-1, c) for m in mips], axis=0)
+    ws = jnp.asarray([m.shape[1] for m in mips], jnp.int32)
+    hs = jnp.asarray([m.shape[0] for m in mips], jnp.int32)
+    import numpy as _np
+    offs = jnp.asarray(_np.concatenate(
+        [[0], _np.cumsum([m.shape[0] * m.shape[1] for m in mips])[:-1]]),
+        jnp.int32)
+    l0 = jnp.floor(lvl).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n - 1)
+    f = lvl - l0.astype(lvl.dtype)
+
+    def level_taps(li):
+        w = jnp.take(ws, li)
+        h = jnp.take(hs, li)
+        off = jnp.take(offs, li)
+        fx = uv[..., 0] * w - 0.5
+        fy = uv[..., 1] * h - 0.5
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        wx = fx - x0
+        wy = fy - y0
+        if wrap == "clamp":
+            xi = lambda x: jnp.clip(x, 0, w - 1)
+            yi = lambda y: jnp.clip(y, 0, h - 1)
+        elif wrap == "wrap":
+            xi = lambda x: jnp.mod(x, w)
+            yi = lambda y: jnp.mod(y, h)
+        else:
+            raise ValueError(wrap)
+        lins = (off + yi(y0) * w + xi(x0),
+                off + yi(y0) * w + xi(x0 + 1),
+                off + yi(y0 + 1) * w + xi(x0),
+                off + yi(y0 + 1) * w + xi(x0 + 1))
+        wts = ((1 - wx) * (1 - wy), wx * (1 - wy),
+               (1 - wx) * wy, wx * wy)
+        return lins, wts
+
+    lins0, wts0 = level_taps(l0)
+    lins1, wts1 = level_taps(l1)
+    from unirenderer_tpu.ops.gather import gather_rows_weighted
+    return gather_rows_weighted(
+        atlas, lins0 + lins1,
+        tuple(w * (1 - f) for w in wts0) + tuple(w * f for w in wts1))
 
 
 def screen_uv_derivs(gb_texc: jax.Array, wrap: bool = True) -> jax.Array:
