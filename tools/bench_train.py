@@ -26,6 +26,11 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--no-flash", action="store_true")
+    ap.add_argument("--render-in-step", action="store_true",
+                    help="bench the FUSED regime: rasterize+shade 512^2 "
+                         "(SSAA) inside the train step (the reference's "
+                         "in-loop render, train/train.py:184-439) — scene "
+                         "tensors in, one XLA program per step")
     args = ap.parse_args(argv)
 
     import jax
@@ -70,18 +75,70 @@ def main(argv=None):
             jax.random.key(1)), fill="scaled_normal"))
 
     schedule = DiffusionSchedule.create(cfg.diffusion)
-    step_fn = jax.jit(make_train_step(cfg, dual, vae, schedule),
-                      donate_argnums=(0,))
-    state = create_train_state(cfg, dual_params)
-
     b, hw = args.batch, cfg.vae.sample_size
     ctx = jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim))
 
-    def make_batch():
-        salt = int(time.perf_counter_ns()) % (2 ** 31)
-        ks = jax.random.split(jax.random.key(salt), len(BATCH_KEYS))
-        return {k: 0.5 * jax.random.normal(ks[i], (b, hw, hw, 3))
-                for i, k in enumerate(BATCH_KEYS)}
+    if args.render_in_step:
+        # the reference's actual regime: render the supervision maps INSIDE
+        # the hot loop (train/train.py:184-439) — here fused into the same
+        # XLA program as the model step (train_step.make_render_train_step)
+        import random as _random
+
+        from unirenderer_tpu.data.objaverse import (
+            material_grid, pad_mesh, stack_scene,
+        )
+        from unirenderer_tpu.render.mesh import make_sphere
+        from unirenderer_tpu.train.train_step import make_render_train_step
+
+        sphere = make_sphere(90)     # 32.4k tris ~ the 32768 t_pad budget
+        mesh_np = pad_mesh(
+            {"v_pos": np.asarray(sphere.v_pos),
+             "t_idx": np.asarray(sphere.t_pos_idx),
+             "v_nrm": np.asarray(sphere.v_nrm),
+             "v_tex": np.asarray(sphere.v_tex),
+             "v_tng": np.asarray(sphere.v_tng)},
+            cfg.data.v_pad, cfg.data.t_pad)
+        tr = cfg.data.texture_res
+        prng = _random.Random(0)
+        grid = material_grid(cfg.data.material_grid)
+        env = {"diffuse": np.full((6, 16, 16, 3), 0.4, np.float32)}
+        res_l, lvl = 64, 0
+        while res_l >= 8:
+            env[f"specular_{lvl}"] = np.full((6, res_l, res_l, 3),
+                                             0.6, np.float32)
+            res_l //= 2
+            lvl += 1
+
+        def make_batch():
+            salt = int(time.perf_counter_ns()) % (2 ** 31)
+            items = []
+            for i in range(b):
+                mm, rr = prng.choice(grid)
+                kd = np.asarray(
+                    np.random.default_rng(salt + i).uniform(
+                        0.2, 0.9, (tr, tr, 3)), np.float32)
+                items.append(dict(
+                    mesh={**mesh_np, "kd_tex": kd}, env=env,
+                    metallic=mm, roughness=rr,
+                    azimuth=prng.uniform(0, 360),
+                    elevation=prng.uniform(60, 120),
+                    distance=cfg.data.camera_distance))
+            return stack_scene(items)
+
+        raw_step = make_render_train_step(cfg, dual, vae, schedule)
+        metric_name = "render_train_step_ms_512_flagship"
+    else:
+        def make_batch():
+            salt = int(time.perf_counter_ns()) % (2 ** 31)
+            ks = jax.random.split(jax.random.key(salt), len(BATCH_KEYS))
+            return {k: 0.5 * jax.random.normal(ks[i], (b, hw, hw, 3))
+                    for i, k in enumerate(BATCH_KEYS)}
+
+        raw_step = make_train_step(cfg, dual, vae, schedule)
+        metric_name = "train_step_ms_512_flagship"
+
+    step_fn = jax.jit(raw_step, donate_argnums=(0,))
+    state = create_train_state(cfg, dual_params)
 
     rng = jax.random.key(0)
     t0 = time.time()
@@ -92,7 +149,8 @@ def main(argv=None):
     times = []
     for _ in range(10):
         batch = make_batch()
-        np.asarray(batch["image"][0, 0, 0])
+        # fence: batch materialised on host before the clock starts
+        np.asarray(jax.tree_util.tree_leaves(batch)[0]).ravel()[0]
         t0 = time.perf_counter()
         for _ in range(args.iters):
             state, metrics = step_fn(state, vae_params, ctx, batch, rng)
@@ -109,7 +167,7 @@ def main(argv=None):
     except Exception:
         peak_hbm_gb = None
     print(json.dumps({
-        "metric": "train_step_ms_512_flagship",
+        "metric": metric_name,
         "value": round(ms, 1),
         "samples_per_sec_per_chip": round(b / (ms / 1000.0), 3),
         "batch": b, "flash": not args.no_flash,

@@ -100,6 +100,16 @@ if ! json_ok TRAIN512_r04.json; then
 fi
 commit_json TRAIN512_r04.json "TRAIN512_r04: flagship 512^2 dual-schedule train step measured on the v5e (bf16/f32, remat, full loss incl. cycle)"
 
+# ---- 4b. fused render-in-step flagship train step -------------------------
+timeout 2400 python tools/bench_train.py --batch 4 --iters 2 --render-in-step \
+  | tail -1 > RENDERSTEP512_r04.json
+if ! json_ok RENDERSTEP512_r04.json; then
+  echo "=== render-in-step batch 4 failed; retrying batch 2"
+  timeout 2400 python tools/bench_train.py --batch 2 --iters 2 \
+    --render-in-step | tail -1 > RENDERSTEP512_r04.json
+fi
+commit_json RENDERSTEP512_r04.json "RENDERSTEP512_r04: FUSED render-in-step flagship train step on the v5e — rasterize+shade 512^2 SSAA2 + VAE encodes + dual-schedule loss + optimizer as ONE XLA program (the reference's in-loop render regime, train/train.py:184-439)"
+
 # ---- 5. jitted collate after the lane-friendly gather fix -----------------
 timeout 1200 python tools/bench_collate.py --mesh-dir "$ROOT/data/meshes" \
   --env-dir "$ROOT/data/envs" --batch 16 --resolution 64 \

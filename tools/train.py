@@ -55,6 +55,12 @@ def main(argv=None):
                          "(tools/export_params.py); optimizer starts fresh; "
                          "an orbax resume in --workdir still wins")
     ap.add_argument("--random-camera", action="store_true")
+    ap.add_argument("--render-in-step", action="store_true",
+                    help="fuse the render collate INTO the jitted train "
+                         "step (the reference's in-loop 512^2 regime, "
+                         "train/train.py:184-439, as one XLA program); "
+                         "the input pipeline feeds raw scene tensors — "
+                         "no per-batch host round trip of rendered maps")
     ap.add_argument("--resolution", type=int,
                     help="render resolution (default: config's)")
     ap.add_argument("--cache-batches", type=int,
@@ -102,11 +108,22 @@ def main(argv=None):
     if args.random_camera:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, random_camera=True))
+    if args.resolution:   # the in-step render reads cfg.data.resolution
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data,
+                                          resolution=args.resolution))
+
+    if args.render_in_step and (args.synthetic or args.cache_batches):
+        ap.error("--render-in-step renders inside the train step; it "
+                 "needs --mesh-dir/--env-dir and excludes --synthetic "
+                 "and --cache-batches (the pre-rendered pool already "
+                 "sidesteps per-step rendering)")
 
     trainer = Trainer(cfg, args.workdir, fsdp=args.fsdp,
                       dtype=jnp.bfloat16 if name == "flagship"
                       else jnp.float32,
-                      report_to=tuple(args.report_to.split(",")))
+                      report_to=tuple(args.report_to.split(",")),
+                      render_in_step=args.render_in_step)
 
     if args.vae_ckpt and args.vae_ckpt.endswith(".npz"):
         from unirenderer_tpu.core.checkpoint import load_params_npz
@@ -154,18 +171,21 @@ def main(argv=None):
         # the HOT-loop mistake SURVEY §3.1 flags)
         from unirenderer_tpu.data.input_pipeline import input_pipeline
         from unirenderer_tpu.data.objaverse import (
-            ObjaverseData, collate_render,
+            ObjaverseData, collate_render, stack_scene,
         )
         meshes = sorted(glob.glob(os.path.join(args.mesh_dir, "*.npz")))
         envs = sorted(d for d in glob.glob(os.path.join(args.env_dir, "*"))
                       if os.path.isdir(d))
         assert meshes and envs, "no preprocessed meshes/envs found"
         ds = ObjaverseData(cfg.data, meshes, envs)
-        batches = input_pipeline(
-            ds, global_batch,
-            collate=lambda items: collate_render(
+        if args.render_in_step:
+            collate = stack_scene              # raw tensors; render in-step
+        else:
+            collate = lambda items: collate_render(
                 items, resolution=args.resolution or cfg.data.resolution,
-                ssaa=cfg.data.ssaa),
+                ssaa=cfg.data.ssaa)
+        batches = input_pipeline(
+            ds, global_batch, collate=collate,
             process_index=jax.process_index(),
             process_count=jax.process_count())
 

@@ -250,6 +250,63 @@ def _collate_batch(resolution: int, ssaa: int, bg: float,
     }
 
 
+def stack_scene(items: List[Dict]) -> Dict[str, np.ndarray]:
+    """Host side of the collate: stack raw scene tensors for a batch — NO
+    rendering.  Every value is a numpy array with leading batch dim, so the
+    scene dict is a shardable pytree (DP splits it over `data` like any
+    batch; parallel/mesh.shard_batch).
+
+    Keys: v_pos/t_idx/v_nrm/v_tng/v_tex (padded mesh), mvps/camposes/nrots
+    (camera), spec_0..spec_{n-1}/diffuse (env mips), metallics/roughnesses,
+    kds (albedo textures)."""
+    stack = lambda key: np.stack([np.asarray(i["mesh"][key])
+                                  for i in items])
+    scene = {"v_pos": stack("v_pos"), "t_idx": stack("t_idx"),
+             "v_nrm": stack("v_nrm"), "v_tng": stack("v_tng"),
+             "v_tex": stack("v_tex"), "kds": stack("kd_tex")}
+
+    mvps, camposes, nrots = [], [], []
+    for i in items:
+        mvp, cp = cam.spherical_camera(i["azimuth"], i["elevation"],
+                                       i["distance"])
+        mvps.append(np.asarray(mvp))
+        camposes.append(np.asarray(cp))
+        nrots.append(np.asarray(cam.canonical_normal_rotation(
+            i["azimuth"], i["elevation"])))
+    scene["mvps"] = np.stack(mvps)
+    scene["camposes"] = np.stack(camposes)
+    scene["nrots"] = np.stack(nrots)
+
+    n_mips = len([k for k in items[0]["env"] if k.startswith("specular")])
+    for l in range(n_mips):
+        scene[f"spec_{l}"] = np.stack(
+            [np.asarray(i["env"][f"specular_{l}"]) for i in items])
+    scene["diffuse"] = np.stack(
+        [np.asarray(i["env"]["diffuse"]) for i in items])
+    scene["metallics"] = np.asarray([i["metallic"] for i in items],
+                                    np.float32)
+    scene["roughnesses"] = np.asarray([i["roughness"] for i in items],
+                                      np.float32)
+    return scene
+
+
+def collate_from_scene(scene: Dict, resolution: int, ssaa: int = 2,
+                       bg: float = 1.0) -> Dict[str, jnp.ndarray]:
+    """Jit-traceable render collate over a stacked scene dict — the body
+    shared by `collate_render` (host pipeline) and the fused
+    render-in-step train path (train/train_step.make_render_train_step,
+    the reference's in-loop 512^2 regime, train/train.py:184-439)."""
+    n_mips = len([k for k in scene if k.startswith("spec_")])
+    spec_mips = [scene[f"spec_{l}"] for l in range(n_mips)]
+    fg = jnp.asarray(tex.fg_lut()[0])
+    return _collate_batch(resolution, ssaa, bg, scene["v_pos"],
+                          scene["t_idx"], scene["v_nrm"], scene["v_tng"],
+                          scene["v_tex"], scene["mvps"], scene["camposes"],
+                          scene["nrots"], spec_mips, scene["diffuse"],
+                          scene["metallics"], scene["roughnesses"],
+                          scene["kds"], fg)
+
+
 def collate_render(items: List[Dict], resolution: int = 512,
                    bg: float = 1.0, ssaa: int = 2) -> Dict[str, jnp.ndarray]:
     """The train/train.py:184-439 collate_fn equivalent: renders the batch
@@ -265,36 +322,8 @@ def collate_render(items: List[Dict], resolution: int = 512,
     fractional coverage in mask/alpha exactly as antialiased composites do.
     ssaa=1 disables.
 
-    Host side only stacks numpy arrays; everything else is ONE jitted
-    dispatch (`_collate_batch`).
+    Host side only stacks numpy arrays (`stack_scene`); everything else is
+    ONE jitted dispatch (`_collate_batch`).
     """
-    stack = lambda key: jnp.asarray(
-        np.stack([np.asarray(i["mesh"][key]) for i in items]))
-    v_pos, t_idx = stack("v_pos"), stack("t_idx")
-    v_nrm, v_tng = stack("v_nrm"), stack("v_tng")
-    v_tex = stack("v_tex")
-
-    mvps, camposes, nrots = [], [], []
-    for i in items:
-        mvp, cp = cam.spherical_camera(i["azimuth"], i["elevation"],
-                                       i["distance"])
-        mvps.append(mvp)
-        camposes.append(cp)
-        nrots.append(cam.canonical_normal_rotation(i["azimuth"],
-                                                   i["elevation"]))
-    mvps = jnp.stack(mvps)
-    camposes = jnp.stack(camposes)
-    nrots = jnp.stack(nrots)
-
-    n_mips = len([k for k in items[0]["env"] if k.startswith("specular")])
-    spec_mips = [jnp.asarray(np.stack(
-        [i["env"][f"specular_{l}"] for i in items])) for l in range(n_mips)]
-    diffuse = jnp.asarray(np.stack([i["env"]["diffuse"] for i in items]))
-    metallics = jnp.asarray([i["metallic"] for i in items], jnp.float32)
-    roughnesses = jnp.asarray([i["roughness"] for i in items], jnp.float32)
-    kds = jnp.asarray(np.stack([i["mesh"]["kd_tex"] for i in items]))
-    fg = jnp.asarray(tex.fg_lut()[0])
-
-    return _collate_batch(resolution, ssaa, bg, v_pos, t_idx, v_nrm, v_tng,
-                          v_tex, mvps, camposes, nrots, spec_mips, diffuse,
-                          metallics, roughnesses, kds, fg)
+    scene = jax.tree.map(jnp.asarray, stack_scene(items))
+    return collate_from_scene(scene, resolution, ssaa=ssaa, bg=bg)

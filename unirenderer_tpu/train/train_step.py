@@ -150,3 +150,34 @@ def make_train_step(cfg: SystemConfig, dual, vae, schedule: DiffusionSchedule):
         return TrainState(state.step + 1, params, opt_state), metrics
 
     return train_step
+
+
+def make_render_train_step(cfg: SystemConfig, dual, vae,
+                           schedule: DiffusionSchedule,
+                           resolution: int = 0, ssaa: int = 0,
+                           bg: float = 1.0):
+    """Render-in-step: the reference's in-loop GPU render regime
+    (train/train.py:184-439 collate inside the hot loop, :1239) fused the
+    TPU way — rasterize + shade + SSAA + VAE encodes + dual-schedule loss +
+    optimizer as ONE XLA program per step.
+
+    vs the host-collate path this removes the device->host->device round
+    trip of the 8 rendered maps (8 x (B,512,512,3) f32 ~ 100MB/batch —
+    seconds of relay latency each way on the axon tunnel) and lets XLA
+    overlap render and model work.  The step takes a stacked SCENE pytree
+    (data/objaverse.stack_scene) instead of rendered maps; every leaf has
+    leading batch dim, so DP sharding is unchanged
+    (parallel/mesh.make_sharded_train_step works as-is).
+    """
+    base = make_train_step(cfg, dual, vae, schedule)
+    res = resolution or cfg.data.resolution
+    ss = ssaa or cfg.data.ssaa
+
+    def render_train_step(state: TrainState, vae_params, ctx, scene, rng
+                          ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        from unirenderer_tpu.data.objaverse import collate_from_scene
+        batch = collate_from_scene(scene, res, ssaa=ss, bg=bg)
+        batch = {k: batch[k] for k in BATCH_KEYS}
+        return base(state, vae_params, ctx, batch, rng)
+
+    return render_train_step

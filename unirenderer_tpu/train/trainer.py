@@ -36,9 +36,11 @@ class Trainer:
 
     def __init__(self, cfg: SystemConfig, workdir: str,
                  n_devices: Optional[int] = None, fsdp: bool = False,
-                 dtype=jnp.bfloat16, report_to: tuple = ("jsonl",)):
+                 dtype=jnp.bfloat16, report_to: tuple = ("jsonl",),
+                 render_in_step: bool = False):
         self.cfg = cfg
         self.workdir = workdir
+        self.render_in_step = render_in_step
         os.makedirs(workdir, exist_ok=True)
         rng = jax.random.key(cfg.train.seed)
         k1, k2, k3, self._rng = jax.random.split(rng, 4)
@@ -53,7 +55,18 @@ class Trainer:
 
         self.schedule = DiffusionSchedule.create(cfg.diffusion)
         self.mesh = pmesh.make_mesh(n_devices)
-        step_fn = make_train_step(cfg, self.dual, self.vae, self.schedule)
+        if render_in_step:
+            # the reference's in-loop render regime as ONE fused program
+            # (train_step.make_render_train_step); batches are raw SCENE
+            # pytrees (data/objaverse.stack_scene)
+            from unirenderer_tpu.train.train_step import (
+                make_render_train_step,
+            )
+            step_fn = make_render_train_step(cfg, self.dual, self.vae,
+                                             self.schedule)
+        else:
+            step_fn = make_train_step(cfg, self.dual, self.vae,
+                                      self.schedule)
         self.state = create_train_state(cfg, dual_params)
         self._step = pmesh.make_sharded_train_step(
             step_fn, self.mesh, fsdp=fsdp,
@@ -129,7 +142,8 @@ class Trainer:
         for batch in batch_iterator:
             if step >= max_steps:
                 break
-            batch = {k: batch[k] for k in BATCH_KEYS}
+            if not self.render_in_step:
+                batch = {k: batch[k] for k in BATCH_KEYS}
             with self.timer.phase("h2d"):
                 batch = pmesh.shard_batch(batch, self.mesh)
             with self.timer.phase("step", sync=False):
