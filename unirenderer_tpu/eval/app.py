@@ -2,9 +2,12 @@
 upload -> box/point select -> segment -> ensemble decompose -> show maps.
 
 The reference app is broken as committed (imports nonexistent classes,
-test_app.py:54-55); this one runs.  gradio is optional (not in the base
-image): `python -m unirenderer_tpu.eval.app` starts the UI when gradio is
-installed, else prints instructions.
+test_app.py:54-55); this one runs.  Two frontends share one numpy-level
+`AppBackend`:
+
+  * `python -m unirenderer_tpu.eval.http_app` — dependency-free stdlib
+    HTTP UI (works in this image; upload, box prompt, decompose, relight).
+  * `build_app()` — the gradio UI, when gradio is installed.
 
 Segmentation (reference: in-process SAM2 from a 2-click box,
 test_app.py:169-192) is pluggable per eval/segmentation.py: upload an
@@ -15,68 +18,128 @@ heuristic.
 
 from __future__ import annotations
 
+from typing import Dict, Optional
+
 import numpy as np
 
+MAP_NAMES = ("albedo", "normal", "metallic", "roughness",
+             "spec_light", "diff_light")
 
-def build_app(pipe=None, steps: int = 20, ensemble: int = 5):
-    try:
-        import gradio as gr
-    except ImportError as e:
-        raise RuntimeError(
-            "gradio is not installed in this image; run "
-            "unirenderer_tpu.eval.run_inverse for the CLI path") from e
 
-    import jax
-    import jax.numpy as jnp
+class AppBackend:
+    """Framework-independent app logic: uint8 images in, uint8 maps out.
 
-    from unirenderer_tpu.core import config
-    from unirenderer_tpu.eval.segmentation import auto_mask, box_prompt_mask
-    from unirenderer_tpu.pipelines import UniRendererPipeline
+    Wraps a UniRendererPipeline (any config / any trained params); both the
+    gradio UI and the stdlib HTTP UI call exactly these two methods, so the
+    served behavior is identical regardless of frontend.
+    """
 
-    if pipe is None:
-        pipe = UniRendererPipeline.create(config.flagship(),
-                                          jax.random.key(0))
+    def __init__(self, pipe=None, steps: int = 20, ensemble: int = 5):
+        import jax
 
-    def decompose(image, mask_img, box_text):
-        img01 = np.asarray(image, np.float32) / 255.0
-        mask01 = make_mask(img01, mask_img, box_text)
-        out = pipe.real_image2mask_3mod_albedo(
-            image=jnp.asarray(img01 * 2 - 1)[None],
-            mask=jnp.asarray(mask01 * 2 - 1)[None],
-            rng=jax.random.key(0), num_steps=steps, ensemble=ensemble)
-        to_img = lambda x: ((np.asarray(x)[0] + 1) / 2 * 255).astype(
-            np.uint8)
-        grey = lambda x: (np.repeat(np.asarray(x)[0][..., None], 3, -1)
-                          * 255).astype(np.uint8)
-        return (to_img(out["albedo"]), to_img(out["normal"]),
-                grey(out["metallic"]), grey(out["roughness"]),
-                to_img(out["spec_light"]), to_img(out["diff_light"]))
+        if pipe is None:
+            from unirenderer_tpu.core import config
+            from unirenderer_tpu.pipelines import UniRendererPipeline
+            pipe = UniRendererPipeline.create(config.flagship(),
+                                              jax.random.key(0))
+        self.pipe = pipe
+        self.steps = steps
+        self.ensemble = ensemble
+        self.size = pipe.cfg.vae.sample_size
 
-    def make_mask(img01, mask_img, box_text):
-        if mask_img is not None:           # external mask (SAM2 etc.)
-            m = np.asarray(mask_img, np.float32)
-            if m.ndim == 3:
-                m = m[..., 0]
-            return ((m > 127).astype(np.float32)[..., None].repeat(3, -1))
+    # -- helpers -----------------------------------------------------------
+
+    def _resize(self, img_u8: np.ndarray) -> np.ndarray:
+        from PIL import Image
+        img = Image.fromarray(np.asarray(img_u8, np.uint8)).convert("RGB")
+        img = img.resize((self.size, self.size), Image.BILINEAR)
+        return np.asarray(img, np.float32) / 255.0
+
+    def make_mask(self, img01: np.ndarray,
+                  mask_u8: Optional[np.ndarray],
+                  box_text: Optional[str]) -> np.ndarray:
+        from unirenderer_tpu.eval.segmentation import (
+            auto_mask, box_prompt_mask,
+        )
+        if mask_u8 is not None:            # external mask (SAM2 etc.)
+            m = self._resize(mask_u8)[..., 0]
+            return (m > 0.5).astype(np.float32)[..., None].repeat(3, -1)
         if box_text:
             return box_prompt_mask(
                 img01, [int(v) for v in box_text.split(",")])
         return auto_mask(img01)
 
-    def relight(image, mask_img, box_text, env_img):
+    # -- the two app actions ----------------------------------------------
+
+    def decompose(self, image_u8: np.ndarray,
+                  mask_u8: Optional[np.ndarray] = None,
+                  box_text: Optional[str] = None) -> Dict[str, np.ndarray]:
+        """image (+ optional mask / box prompt) -> 6 uint8 maps."""
+        import jax
+        import jax.numpy as jnp
+
+        img01 = self._resize(image_u8)
+        mask01 = self.make_mask(img01, mask_u8, box_text)
+        out = self.pipe.real_image2mask_3mod_albedo(
+            image=jnp.asarray(img01 * 2 - 1)[None],
+            mask=jnp.asarray(mask01 * 2 - 1)[None],
+            rng=jax.random.key(0), num_steps=self.steps,
+            ensemble=self.ensemble)
+        to_img = lambda x: np.asarray(    # noqa: E731
+            np.clip((np.asarray(x)[0] + 1) / 2, 0, 1) * 255, np.uint8)
+        grey = lambda x: np.asarray(      # noqa: E731
+            np.clip(np.repeat(np.asarray(x)[0][..., None], 3, -1), 0, 1)
+            * 255, np.uint8)
+        return {"albedo": to_img(out["albedo"]),
+                "normal": to_img(out["normal"]),
+                "metallic": grey(out["metallic"]),
+                "roughness": grey(out["roughness"]),
+                "spec_light": to_img(out["spec_light"]),
+                "diff_light": to_img(out["diff_light"])}
+
+    def relight(self, image_u8: np.ndarray,
+                mask_u8: Optional[np.ndarray],
+                box_text: Optional[str],
+                env_u8: np.ndarray) -> np.ndarray:
         """Decompose + re-render under the uploaded environment (treated
         as an LDR latlong, sRGB->linear) — pipelines.relight."""
-        if env_img is None:
+        import jax
+        import jax.numpy as jnp
+
+        if env_u8 is None:
             raise ValueError("upload an environment image to relight")
-        img01 = np.asarray(image, np.float32) / 255.0
-        mask01 = make_mask(img01, mask_img, box_text)
-        env01 = (np.asarray(env_img, np.float32) / 255.0) ** 2.2
-        relit = pipe.relight(
+        img01 = self._resize(image_u8)
+        mask01 = self.make_mask(img01, mask_u8, box_text)
+        env01 = (np.asarray(env_u8, np.float32) / 255.0) ** 2.2
+        if env01.ndim == 3 and env01.shape[-1] == 4:
+            env01 = env01[..., :3]
+        relit = self.pipe.relight(
             image=jnp.asarray(img01 * 2 - 1)[None],
             mask=jnp.asarray(mask01 * 2 - 1)[None],
             new_env=jnp.asarray(env01), rng=jax.random.key(0),
-            num_steps=steps, ensemble=1)
-        return ((np.asarray(relit)[0] + 1) / 2 * 255).astype(np.uint8)
+            num_steps=self.steps, ensemble=1)
+        return np.asarray(
+            np.clip((np.asarray(relit)[0] + 1) / 2, 0, 1) * 255, np.uint8)
+
+
+def build_app(pipe=None, steps: int = 20, ensemble: int = 5):
+    """The gradio frontend over AppBackend (when gradio is installed)."""
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise RuntimeError(
+            "gradio is not installed in this image; use "
+            "`python -m unirenderer_tpu.eval.http_app` (stdlib UI) or "
+            "unirenderer_tpu.eval.run_inverse for the CLI path") from e
+
+    backend = AppBackend(pipe, steps=steps, ensemble=ensemble)
+
+    def decompose(image, mask_img, box_text):
+        out = backend.decompose(image, mask_img, box_text)
+        return tuple(out[n] for n in MAP_NAMES)
+
+    def relight(image, mask_img, box_text, env_img):
+        return backend.relight(image, mask_img, box_text, env_img)
 
     with gr.Blocks(title="uni-renderer-tpu") as demo:
         gr.Markdown("# Uni-Renderer TPU — inverse rendering")
@@ -86,9 +149,7 @@ def build_app(pipe=None, steps: int = 20, ensemble: int = 5):
                                "eval/segmentation.py for the SAM2 recipe)")
         box_in = gr.Textbox(label="box prompt x0,y0,x1,y1 (optional)")
         btn = gr.Button("Decompose")
-        outs = [gr.Image(label=n) for n in
-                ("albedo", "normal", "metallic", "roughness",
-                 "spec_light", "diff_light")]
+        outs = [gr.Image(label=n) for n in MAP_NAMES]
         btn.click(decompose, inputs=[inp, mask_in, box_in], outputs=outs)
         gr.Markdown("## Relight")
         env_in = gr.Image(label="new environment (latlong)")
