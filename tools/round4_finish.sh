@@ -92,6 +92,38 @@ timeout 3000 python tools/eval_quality.py --config small \
 echo "=== $(date -u) baseline eval rc=$?"
 commit_json QUALITY_r04_random_baseline.json "QUALITY_r04 random-dual baseline: same harness, same trained VAE, random dual-stream weights (n=32) — the no-training control"
 
+# ---- 3b. training trajectory: eval up to 3 preserved snapshots ------------
+# (snapshot_loop.sh copies every 10k-step checkpoint out of rotation)
+SNAPS=$(ls -d "$ROOT"/snapshots/checkpoint-* 2>/dev/null \
+        | sort -t- -k2 -n | awk 'NR==1 || NR%2==1' | tail -3)
+rm -rf "$ROOT/traj"; : > /tmp/traj_parts.txt
+for S in $SNAPS; do
+  N=$(basename "$S" | cut -d- -f2)
+  mkdir -p "$ROOT/traj/$N"
+  cp -r "$S" "$ROOT/traj/$N/"
+  timeout 1200 python tools/eval_quality.py --config small \
+    --mesh-dir "$ROOT/test/meshes" --env-dir "$ROOT/test/envs" \
+    --ckpt "$ROOT/traj/$N" --vae-ckpt "$ROOT/run/vae_checkpoints" \
+    --n 8 --steps 10 --out "/tmp/traj_$N.json" \
+    && echo "/tmp/traj_$N.json" >> /tmp/traj_parts.txt
+done
+python - <<'PYEOF'
+import json
+parts = [p.strip() for p in open("/tmp/traj_parts.txt") if p.strip()]
+rows = []
+for p in parts:
+    d = json.load(open(p))
+    rows.append({"checkpoint_step": d.get("checkpoint_step"),
+                 "psnr_forward_render": d.get("psnr_forward_render"),
+                 "psnr_maps": d.get("psnr_maps"),
+                 "normal_angle": d.get("normal_angle"),
+                 "metal_rough_mae": d.get("metal_rough_mae")})
+if rows:
+    json.dump({"n_objects": 8, "unipc_steps": 10, "trajectory": rows},
+              open("QUALITY_r04_trajectory.json", "w"), indent=1)
+PYEOF
+commit_json QUALITY_r04_trajectory.json "QUALITY_r04 trajectory: held-out eval at preserved 10k-step snapshots (n=8, 10 UniPC steps) — metric-vs-training-step curve for the round-4 run"
+
 # ---- 4. flagship 512^2 train step on the chip -----------------------------
 timeout 2400 python tools/bench_train.py --batch 4 --iters 2 | tail -1 > TRAIN512_r04.json
 if ! json_ok TRAIN512_r04.json; then
