@@ -86,6 +86,45 @@ class CheckpointManager:
         self._ckptr.wait_until_finished()
 
 
+class AsyncSaver:
+    """Checkpoint a step loop without stalling it on the D2H fetch.
+
+    On a relay-attached TPU the `np.asarray(state)` fetch dominates save
+    cost (~190s for a config.small TrainState, PERF.md round 4).  save():
+    snapshot the state ON-DEVICE (jnp.copy — the next step is then free to
+    donate the live buffers) and fetch + write in a background thread; at
+    most one save in flight (a new save joins the previous first).
+    """
+
+    def __init__(self, ckpt: CheckpointManager):
+        self.ckpt = ckpt
+        self._thread = None
+
+    def save(self, step: int, state: Any, blocking: bool = False) -> None:
+        import threading
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        self.join()
+        snap = jax.tree.map(jnp.copy, state)
+
+        def fetch_and_write():
+            self.ckpt.save(step, jax.tree.map(np.asarray, snap))
+
+        if blocking:
+            fetch_and_write()
+        else:
+            self._thread = threading.Thread(target=fetch_and_write,
+                                            daemon=True)
+            self._thread.start()
+
+    def join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 # ---------------------------------------------------------------------------
 # Portable params-only export (round-3 VERDICT weak #8: trained state must
 # survive the VM — orbax full-state dirs are ~1.2GB f32; a params-only f16

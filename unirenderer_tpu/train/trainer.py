@@ -11,14 +11,13 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import threading
 from typing import Callable, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unirenderer_tpu.core.checkpoint import CheckpointManager
+from unirenderer_tpu.core.checkpoint import AsyncSaver, CheckpointManager
 from unirenderer_tpu.core.config import SystemConfig
 from unirenderer_tpu.core.debug import AnomalyGuard
 from unirenderer_tpu.core.tracing import MetricLogger, PhaseTimer
@@ -84,36 +83,16 @@ class Trainer:
                                    report_to=report_to)
         self.timer = PhaseTimer()
         self.guard = AnomalyGuard()
-        self._save_thread: Optional[threading.Thread] = None
+        # non-stalling saves: on-device snapshot + background D2H fetch
+        # (PERF.md round 4: the sync fetch cost ~2x step time on the relay)
+        self._saver = AsyncSaver(self.ckpt)
 
     # ------------------------------------------------------------------
     def _save(self, step: int, blocking: bool = False) -> None:
-        """Checkpoint without stalling the step loop.
-
-        The device->host fetch of the full TrainState dominates save cost
-        on a relay-attached TPU (~190s/save observed at config.small,
-        round 4) — synchronous saves cost ~2x step time at
-        checkpoint_every=1000.  Instead: snapshot the state on-DEVICE
-        (jnp.copy, so the next step is free to donate the live buffers),
-        then fetch + orbax-write in a background thread.  At most one
-        save is in flight; a new one joins the previous first."""
-        self._join_save()
-        snap = jax.tree.map(jnp.copy, self.state)
-
-        def fetch_and_write():
-            self.ckpt.save(step, jax.tree.map(np.asarray, snap))
-
-        if blocking:
-            fetch_and_write()
-        else:
-            self._save_thread = threading.Thread(
-                target=fetch_and_write, daemon=True)
-            self._save_thread.start()
+        self._saver.save(step, self.state, blocking=blocking)
 
     def _join_save(self) -> None:
-        if self._save_thread is not None:
-            self._save_thread.join()
-            self._save_thread = None
+        self._saver.join()
 
     # ------------------------------------------------------------------
     def _blank_ctx(self, text_params):

@@ -121,7 +121,7 @@ def train_vae(cfg: SystemConfig, batch_iterator: Iterator[dict],
 
     import numpy as np
 
-    from unirenderer_tpu.core.checkpoint import CheckpointManager
+    from unirenderer_tpu.core.checkpoint import AsyncSaver, CheckpointManager
     from unirenderer_tpu.core.tracing import MetricLogger
     from unirenderer_tpu.models.vae import init_vae
 
@@ -129,6 +129,7 @@ def train_vae(cfg: SystemConfig, batch_iterator: Iterator[dict],
     lr = vae_lr_schedule(lr, lr_schedule, max_steps, lr_warmup)
     state = create_vae_train_state(params, lr)
     ckpt = CheckpointManager(os.path.join(workdir, "vae_checkpoints"))
+    saver = AsyncSaver(ckpt)    # non-stalling D2H fetch (PERF.md round 4)
     start = ckpt.latest_step()
     if start is not None:
         host_state = jax.tree.map(np.asarray, state)
@@ -155,9 +156,10 @@ def train_vae(cfg: SystemConfig, batch_iterator: Iterator[dict],
             print(f"[vae] step {step}: loss={metrics['vae_loss']:.4f} "
                   f"psnr={metrics['vae_psnr']:.2f}", flush=True)
         if step % checkpoint_every == 0:
-            ckpt.save(step, jax.tree.map(np.asarray, state))
+            saver.save(step, state)
     if step % checkpoint_every != 0:
-        ckpt.save(step, jax.tree.map(np.asarray, state))
+        saver.save(step, state, blocking=True)
+    saver.join()
     ckpt.wait()
     # name the exit cause explicitly: round-3's "finished at step 5000"
     # of 8000 was unexplainable from the logs (VERDICT weak #7)
