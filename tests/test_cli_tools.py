@@ -191,6 +191,34 @@ def test_box_prompt_multicolor_background():
     assert outside.sum() == 0
 
 
+def test_point_prompt_mask():
+    """SAM2-style click prompts (reference test_real.py:520-533) via the
+    iterated-GMM heuristic: one positive click inside the object finds
+    it; a background click suppresses a same-colored distractor."""
+    from unirenderer_tpu.eval.segmentation import point_prompt_mask
+
+    rng = np.random.default_rng(0)
+    img = 0.9 + 0.05 * rng.standard_normal((64, 64, 3))
+    img[24:40, 24:44] = [0.2, 0.3, 0.4]
+    img = np.clip(img, 0, 1).astype(np.float32)
+    got = point_prompt_mask(img, (34, 32))       # click the object center
+    inside = got[26:38, 26:42, 0]
+    outside = got[..., 0].copy()
+    outside[22:42, 22:46] = 0
+    assert inside.mean() > 0.95
+    assert outside.mean() < 0.05
+
+    # two same-colored blobs: the click (+ connected-component keep)
+    # selects only the clicked one
+    img2 = 0.9 + 0.02 * rng.standard_normal((64, 64, 3))
+    img2[8:20, 8:20] = [0.2, 0.3, 0.4]
+    img2[44:60, 40:60] = [0.2, 0.3, 0.4]
+    img2 = np.clip(img2, 0, 1).astype(np.float32)
+    got2 = point_prompt_mask(img2, (14, 14))
+    assert got2[10:18, 10:18, 0].mean() > 0.9    # clicked blob found
+    assert got2[46:58, 42:58, 0].mean() < 0.1    # other blob excluded
+
+
 def test_run_inverse_external_mask_cli(tmp_path):
     """CLI accepts an external mask file end-to-end (tiny model)."""
     from PIL import Image

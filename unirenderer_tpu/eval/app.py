@@ -57,29 +57,52 @@ class AppBackend:
 
     def make_mask(self, img01: np.ndarray,
                   mask_u8: Optional[np.ndarray],
-                  box_text: Optional[str]) -> np.ndarray:
+                  box_text: Optional[str],
+                  point_text: Optional[str] = None,
+                  orig_hw: Optional[tuple] = None) -> np.ndarray:
+        """Prompt coords (box/point) are in the UPLOADED image's pixel
+        space when `orig_hw` is given; they are scaled to the working
+        resolution here."""
         from unirenderer_tpu.eval.segmentation import (
-            auto_mask, box_prompt_mask,
+            auto_mask, box_prompt_mask, point_prompt_mask,
         )
         if mask_u8 is not None:            # external mask (SAM2 etc.)
             m = self._resize(mask_u8)[..., 0]
             return (m > 0.5).astype(np.float32)[..., None].repeat(3, -1)
+
+        def scale(vals, stride=2):
+            vals = [int(v) for v in vals]
+            if orig_hw is None:
+                return vals
+            oh, ow = orig_hw
+            sx, sy = self.size / ow, self.size / oh
+            out = []
+            for i, v in enumerate(vals):
+                s = sx if i % 2 == 0 else sy
+                # preserve the sign convention (negative = bg click)
+                out.append(int(round(abs(v) * s)) * (1 if v >= 0 else -1))
+            return out
+
         if box_text:
-            return box_prompt_mask(
-                img01, [int(v) for v in box_text.split(",")])
+            return box_prompt_mask(img01, scale(box_text.split(",")))
+        if point_text:                     # SAM2-style click prompts
+            return point_prompt_mask(img01, scale(point_text.split(",")))
         return auto_mask(img01)
 
     # -- the two app actions ----------------------------------------------
 
     def decompose(self, image_u8: np.ndarray,
                   mask_u8: Optional[np.ndarray] = None,
-                  box_text: Optional[str] = None) -> Dict[str, np.ndarray]:
-        """image (+ optional mask / box prompt) -> 6 uint8 maps."""
+                  box_text: Optional[str] = None,
+                  point_text: Optional[str] = None
+                  ) -> Dict[str, np.ndarray]:
+        """image (+ optional mask / box / click prompt) -> 6 uint8 maps."""
         import jax
         import jax.numpy as jnp
 
         img01 = self._resize(image_u8)
-        mask01 = self.make_mask(img01, mask_u8, box_text)
+        mask01 = self.make_mask(img01, mask_u8, box_text, point_text,
+                                orig_hw=np.asarray(image_u8).shape[:2])
         out = self.pipe.real_image2mask_3mod_albedo(
             image=jnp.asarray(img01 * 2 - 1)[None],
             mask=jnp.asarray(mask01 * 2 - 1)[None],
@@ -100,7 +123,8 @@ class AppBackend:
     def relight(self, image_u8: np.ndarray,
                 mask_u8: Optional[np.ndarray],
                 box_text: Optional[str],
-                env_u8: np.ndarray) -> np.ndarray:
+                env_u8: np.ndarray,
+                point_text: Optional[str] = None) -> np.ndarray:
         """Decompose + re-render under the uploaded environment (treated
         as an LDR latlong, sRGB->linear) — pipelines.relight."""
         import jax
@@ -109,7 +133,8 @@ class AppBackend:
         if env_u8 is None:
             raise ValueError("upload an environment image to relight")
         img01 = self._resize(image_u8)
-        mask01 = self.make_mask(img01, mask_u8, box_text)
+        mask01 = self.make_mask(img01, mask_u8, box_text, point_text,
+                                orig_hw=np.asarray(image_u8).shape[:2])
         env01 = (np.asarray(env_u8, np.float32) / 255.0) ** 2.2
         if env01.ndim == 3 and env01.shape[-1] == 4:
             env01 = env01[..., :3]
@@ -134,12 +159,13 @@ def build_app(pipe=None, steps: int = 20, ensemble: int = 5):
 
     backend = AppBackend(pipe, steps=steps, ensemble=ensemble)
 
-    def decompose(image, mask_img, box_text):
-        out = backend.decompose(image, mask_img, box_text)
+    def decompose(image, mask_img, box_text, point_text):
+        out = backend.decompose(image, mask_img, box_text, point_text)
         return tuple(out[n] for n in MAP_NAMES)
 
-    def relight(image, mask_img, box_text, env_img):
-        return backend.relight(image, mask_img, box_text, env_img)
+    def relight(image, mask_img, box_text, point_text, env_img):
+        return backend.relight(image, mask_img, box_text, env_img,
+                               point_text=point_text)
 
     with gr.Blocks(title="uni-renderer-tpu") as demo:
         gr.Markdown("# Uni-Renderer TPU — inverse rendering")
@@ -148,14 +174,17 @@ def build_app(pipe=None, steps: int = 20, ensemble: int = 5):
             mask_in = gr.Image(label="mask (optional; see "
                                "eval/segmentation.py for the SAM2 recipe)")
         box_in = gr.Textbox(label="box prompt x0,y0,x1,y1 (optional)")
+        pt_in = gr.Textbox(label="point prompt x,y[,x,y...] (optional; "
+                           "negative pair = background click)")
         btn = gr.Button("Decompose")
         outs = [gr.Image(label=n) for n in MAP_NAMES]
-        btn.click(decompose, inputs=[inp, mask_in, box_in], outputs=outs)
+        btn.click(decompose, inputs=[inp, mask_in, box_in, pt_in],
+                  outputs=outs)
         gr.Markdown("## Relight")
         env_in = gr.Image(label="new environment (latlong)")
         rbtn = gr.Button("Relight")
         relit_out = gr.Image(label="relit")
-        rbtn.click(relight, inputs=[inp, mask_in, box_in, env_in],
+        rbtn.click(relight, inputs=[inp, mask_in, box_in, pt_in, env_in],
                    outputs=[relit_out])
     return demo
 

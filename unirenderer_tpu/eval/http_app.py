@@ -36,7 +36,12 @@ PAGE = """<!doctype html>
 <h1>Uni-Renderer TPU &mdash; inverse rendering</h1>
 <p>input image <input type=file id=img accept=image/*>
    mask (optional) <input type=file id=mask accept=image/*></p>
-<p>box prompt x0,y0,x1,y1 (optional) <input type=text id=box size=20></p>
+<p>box prompt x0,y0,x1,y1 (optional) <input type=text id=box size=20>
+   point prompt x,y[,x,y...] (optional; negative pair = background click)
+   <input type=text id=pt size=20></p>
+<p id=prevwrap style="display:none">click the preview to add point
+   prompts (shift-click = background):<br>
+   <img id=prev style="max-width:320px;cursor:crosshair"></p>
 <button onclick=run('decompose')>Decompose</button>
 <span id=status></span>
 <div class=maps id=out></div>
@@ -51,11 +56,29 @@ async function b64(id) {
   const buf = await f.arrayBuffer();
   return btoa(String.fromCharCode(...new Uint8Array(buf)));
 }
+document.getElementById('img').addEventListener('change', e => {
+  const f = e.target.files[0];
+  if (!f) return;
+  const prev = document.getElementById('prev');
+  prev.src = URL.createObjectURL(f);
+  document.getElementById('prevwrap').style.display = 'block';
+});
+document.getElementById('prev').addEventListener('click', e => {
+  const img = e.target, r = img.getBoundingClientRect();
+  // map display coords to natural-image coords (the backend resizes to
+  // its working resolution preserving relative position)
+  let x = Math.round((e.clientX - r.left) * img.naturalWidth / r.width);
+  let y = Math.round((e.clientY - r.top) * img.naturalHeight / r.height);
+  if (e.shiftKey) { x = -x; y = -y; }
+  const pt = document.getElementById('pt');
+  pt.value = pt.value ? pt.value + ',' + x + ',' + y : x + ',' + y;
+});
 async function run(mode) {
   const s = document.getElementById('status');
   s.textContent = 'running ' + mode + '…';
   const body = {image: await b64('img'), mask: await b64('mask'),
                 box: document.getElementById('box').value || null,
+                point: document.getElementById('pt').value || null,
                 env: await b64('env')};
   const r = await fetch('/api/' + mode, {method: 'POST',
       headers: {'Content-Type': 'application/json'},
@@ -118,11 +141,13 @@ def make_handler(backend):
                     raise ValueError("no input image")
                 mask = _decode_image(req.get("mask"))
                 box = req.get("box")
+                point = req.get("point")
                 if self.path == "/api/decompose":
-                    maps = backend.decompose(image, mask, box)
+                    maps = backend.decompose(image, mask, box, point)
                 elif self.path == "/api/relight":
                     env = _decode_image(req.get("env"))
-                    maps = {"relit": backend.relight(image, mask, box, env)}
+                    maps = {"relit": backend.relight(image, mask, box, env,
+                                                     point_text=point)}
                 else:
                     self.send_error(404)
                     return

@@ -48,6 +48,9 @@ def main(argv=None):
     ap.add_argument("--mask", help="external mask file (png/npy), see "
                     "eval/segmentation.py MASK FILE CONTRACT")
     ap.add_argument("--box", help="x0,y0,x1,y1 box-prompt heuristic mask")
+    ap.add_argument("--point", help="x,y[,x,y...] click-prompt heuristic "
+                    "mask (negative pair = background click), the "
+                    "reference's SAM2 point flow (test_real.py:520-533)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--ckpt", help="checkpoint dir (trained params)")
     ap.add_argument("--steps", type=int, default=20)
@@ -90,6 +93,10 @@ def main(argv=None):
     elif args.box:
         mask01 = box_prompt_mask(img01,
                                  [int(v) for v in args.box.split(",")])
+    elif args.point:
+        from unirenderer_tpu.eval.segmentation import point_prompt_mask
+        mask01 = point_prompt_mask(img01,
+                                   [int(v) for v in args.point.split(",")])
     else:
         mask01 = auto_mask(img01)
 

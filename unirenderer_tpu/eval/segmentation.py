@@ -177,6 +177,101 @@ def box_prompt_mask(img01: np.ndarray, box: Sequence[int],
     return mask[..., None].repeat(3, -1)
 
 
+def point_prompt_mask(img01: np.ndarray, points: Sequence[int],
+                      k: int = 5, gc_iters: int = 4,
+                      seed_frac: float = 0.04,
+                      spatial_weight: float = 4.0) -> np.ndarray:
+    """Segment the object under user CLICKS — the reference app's SAM2
+    point-prompt flow (test_app.py:169-192, test_real.py:520-533) without
+    the SAM2 dependency.
+
+    `points` is a flat sequence x0,y0[,x1,y1,...]; positive coordinates
+    are positive clicks (object), a coordinate pair given as NEGATIVE
+    values (-x,-y) is a background click.  Same iterated-GMM machinery as
+    `box_prompt_mask`, with point-derived hard seeds: FG = disks around
+    positive clicks, BG = image border + disks around negative clicks,
+    plus a mild distance-from-click prior (clicks are local statements in
+    a way a box is not).  The connected component containing the first
+    positive click is returned.  Returns (H, W, 3) float mask in {0, 1}.
+    """
+    from scipy import ndimage
+
+    h, w = img01.shape[:2]
+    pts = [int(v) for v in points]
+    assert len(pts) >= 2 and len(pts) % 2 == 0, "need x,y[,x,y...]"
+    pos = [(abs(pts[i]), abs(pts[i + 1]))
+           for i in range(0, len(pts), 2)
+           if pts[i] >= 0 and pts[i + 1] >= 0]
+    neg = [(abs(pts[i]), abs(pts[i + 1]))
+           for i in range(0, len(pts), 2)
+           if pts[i] < 0 or pts[i + 1] < 0]
+    if not pos:
+        return auto_mask(img01)
+    pos = [(min(w - 1, x), min(h - 1, y)) for x, y in pos]
+
+    r = max(2, int(seed_frac * min(h, w)))
+    yy, xx = np.mgrid[0:h, 0:w]
+    fg_seed = np.zeros((h, w), bool)
+    for x, y in pos:
+        fg_seed |= (xx - x) ** 2 + (yy - y) ** 2 <= r * r
+    bg_seed = np.zeros((h, w), bool)
+    b = max(1, min(h, w) // 50)              # border ring
+    bg_seed[:b, :] = bg_seed[-b:, :] = True
+    bg_seed[:, :b] = bg_seed[:, -b:] = True
+    for x, y in neg:
+        bg_seed |= (xx - x) ** 2 + (yy - y) ** 2 <= r * r
+    bg_seed &= ~fg_seed
+
+    # distance-from-nearest-positive-click prior, 0 at the click,
+    # `spatial_weight` logits at the farthest image corner
+    d2 = np.min(np.stack([(xx - x) ** 2.0 + (yy - y) ** 2 for x, y in pos]),
+                axis=0)
+    prior = spatial_weight * np.sqrt(d2) / np.sqrt(h * h + w * w)
+
+    def sample(mask2d, cap=4000, seed=0):
+        px = img01[mask2d].reshape(-1, 3)
+        if px.shape[0] > cap:
+            idx = np.random.RandomState(seed).choice(
+                px.shape[0], cap, replace=False)
+            px = px[idx]
+        return px
+
+    fg = fg_seed.copy()
+    flat = img01.reshape(-1, 3)
+    undecided = ~(fg_seed | bg_seed)
+    for it in range(gc_iters):
+        bg_px = sample(bg_seed | (undecided & ~fg), seed=it)
+        fg_px = sample(fg | fg_seed, seed=100 + it)
+        if fg_px.shape[0] < k or bg_px.shape[0] < k:
+            break
+        gmm_bg = _fit_gmm(bg_px, k, seed=it)
+        gmm_fg = _fit_gmm(fg_px, k, seed=100 + it)
+        ratio = (_gmm_loglik(flat, gmm_fg)
+                 - _gmm_loglik(flat, gmm_bg)).reshape(h, w) - prior
+        score = np.clip(ratio, -20, 20)
+        grad = np.linalg.norm(np.gradient(img01.mean(-1)), axis=0)
+        blend = np.exp(-(grad / max(grad.mean(), 1e-4)) ** 2)
+        sm = ndimage.uniform_filter(score, size=5)
+        score = blend * sm + (1 - blend) * score
+        new_fg = (fg_seed | (score > 0)) & ~bg_seed
+        if (new_fg == fg).all():
+            fg = new_fg
+            break
+        fg = new_fg
+
+    lab, n = ndimage.label(fg)
+    if n:
+        x0, y0 = pos[0]
+        keep = lab[y0, x0]
+        if keep == 0:
+            keep = 1 + np.bincount(lab[lab > 0]).argmax()
+        fg = lab == keep
+        fg = ndimage.binary_closing(fg, np.ones((3, 3)))
+        fg = ndimage.binary_fill_holes(fg)
+    mask = fg.astype(np.float32)
+    return mask[..., None].repeat(3, -1)
+
+
 def load_mask(path: str, size: Optional[int] = None) -> np.ndarray:
     """Load an external mask per the MASK FILE CONTRACT above.
 
