@@ -55,6 +55,11 @@ def main(argv=None):
                          "(tools/export_params.py); optimizer starts fresh; "
                          "an orbax resume in --workdir still wins")
     ap.add_argument("--random-camera", action="store_true")
+    ap.add_argument("--validation", action="store_true",
+                    help="run the inverse pipeline on one held-out scene "
+                         "every cfg.train.validation_every steps, write "
+                         "maps + PSNRs under <workdir>/validation (the "
+                         "reference's log_validation, train/train.py:1459)")
     ap.add_argument("--render-in-step", action="store_true",
                     help="fuse the render collate INTO the jitted train "
                          "step (the reference's in-loop 512^2 regime, "
@@ -196,7 +201,33 @@ def main(argv=None):
             expect_batch=global_batch,
             expect_resolution=args.resolution or cfg.data.resolution)
 
-    state = trainer.train(batches, max_steps=args.steps)
+    validation_fn = None
+    if args.validation:
+        # the reference's --validation_steps -> log_validation flow
+        # (train/train.py:1459-1475; broken there — a NameError).  The
+        # pipeline SHARES the trainer's modules/params: no re-init (the
+        # flagship init-on-TPU trap), no extra HBM copies of VAE/text.
+        from unirenderer_tpu.data.objaverse import collate_render
+        from unirenderer_tpu.eval.validation import make_validation_fn
+        from unirenderer_tpu.pipelines import UniRendererPipeline
+
+        pipe = UniRendererPipeline(
+            cfg, trainer.dual, trainer.state.params, trainer.vae,
+            trainer.vae_params, trainer.text, trainer.text_params)
+        if args.synthetic:
+            val_batch = next(synthetic_batches(cfg, 1, seed=999))
+        else:
+            from unirenderer_tpu.data.objaverse import ObjaverseDataTest
+            vds = ObjaverseDataTest(cfg.data, meshes, envs, seed=4321)
+            val_batch = collate_render(
+                [vds[0]], resolution=args.resolution
+                or cfg.data.resolution, ssaa=cfg.data.ssaa)
+        validation_fn = make_validation_fn(
+            pipe, val_batch, os.path.join(args.workdir, "validation"),
+            num_steps=10, ensemble=1, logger=trainer.logger)
+
+    state = trainer.train(batches, max_steps=args.steps,
+                          validation_fn=validation_fn)
     print(f"finished at step {int(jax.device_get(state.step))}; "
           f"checkpoints in {args.workdir}/checkpoints")
 

@@ -313,5 +313,6 @@ def tiny(latent_size: int = 8) -> SystemConfig:
         sampler=SamplerConfig(num_steps=3, ensemble=1),
         render=RenderConfig(resolution=32, env_res=16, env_min_res=4,
                             max_mip_level=1, raster_chunk=64),
-        train=TrainConfig(batch_size_per_device=2),
+        # validation_every=2 so smoke runs exercise the validation hook
+        train=TrainConfig(batch_size_per_device=2, validation_every=2),
     )
