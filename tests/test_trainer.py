@@ -32,6 +32,22 @@ def test_checkpoint_manager_rotation(tmp_path):
     np.testing.assert_allclose(restored["a"], tree["a"])
 
 
+def test_restore_params_falls_back_past_unfinalized_dir(tmp_path):
+    """A trainer killed mid-save leaves a checkpoint-N dir without a
+    readable `state` tree; restore_params must fall back to the newest
+    COMPLETE checkpoint and report the step it actually restored."""
+    cm = CheckpointManager(str(tmp_path), total_limit=5)
+    tree = {"a": np.arange(4.0)}
+    cm.save(2, tree)
+    cm.wait()
+    # simulate the kill: a newer step dir exists but holds no state
+    os.makedirs(tmp_path / "checkpoint-4" / "state.orbax-checkpoint-tmp-0")
+    restored = cm.restore_params()
+    np.testing.assert_allclose(restored["a"], tree["a"])
+    assert cm.restored_step() == 2
+    assert cm.latest_step() == 4          # the broken dir still exists
+
+
 def test_trainer_smoke_and_resume(tmp_path):
     cfg = small_cfg()
     workdir = str(tmp_path / "run")

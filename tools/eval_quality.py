@@ -105,7 +105,7 @@ def main(argv=None):
                 f"checkpoint; refusing to eval random weights under a "
                 f"trained label (pass no --ckpt for a harness check)")
         pipe.dual_params = jax.tree.map(jnp.asarray, restored)
-        ckpt_step = cm.latest_step()
+        ckpt_step = cm.restored_step()
         print(f"[eval] loaded checkpoint step {ckpt_step}")
     if args.vae_ckpt and args.vae_ckpt.endswith(".npz"):
         from unirenderer_tpu.core.checkpoint import load_params_npz
@@ -118,7 +118,7 @@ def main(argv=None):
         vae_p = vcm.restore_params()
         assert vae_p is not None, f"no checkpoint under {args.vae_ckpt}"
         pipe.vae_params = jax.tree.map(jnp.asarray, vae_p)
-        print(f"[eval] loaded VAE step {vcm.latest_step()}")
+        print(f"[eval] loaded VAE step {vcm.restored_step()}")
 
     # ---- build held-out batches ----
     if args.synthetic:

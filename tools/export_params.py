@@ -41,10 +41,10 @@ def main(argv=None):
         CheckpointManager, save_params_npz,
     )
     cm = CheckpointManager(args.ckpt)
-    step = cm.latest_step()
     params = cm.restore_params()
     if params is None:
         raise SystemExit(f"FATAL: no restorable checkpoint under {args.ckpt}")
+    step = cm.restored_step()
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     save_params_npz(args.out, params, step=step, dtype=args.dtype)
     sz = os.path.getsize(args.out) / 1e6

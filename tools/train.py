@@ -142,7 +142,7 @@ def main(argv=None):
         assert vae_p is not None, f"no checkpoint under {args.vae_ckpt}"
         trainer.install_vae(jax.tree.map(jnp.asarray, vae_p))
         print(f"[train] frozen VAE from {args.vae_ckpt} "
-              f"step {vcm.latest_step()}")
+              f"step {vcm.restored_step()}")
 
     if args.init_params:
         from unirenderer_tpu.core.checkpoint import load_params_npz

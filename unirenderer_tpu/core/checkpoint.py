@@ -24,6 +24,7 @@ class CheckpointManager:
         os.makedirs(self.directory, exist_ok=True)
         self.total_limit = total_limit
         self._ckptr = ocp.StandardCheckpointer()
+        self._restored_step: Optional[int] = None
 
     # -- paths ----------------------------------------------------------
     def _step_dir(self, step: int) -> str:
@@ -40,6 +41,12 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         steps = self.all_steps()
         return steps[-1] if steps else None
+
+    def restored_step(self) -> Optional[int]:
+        """Step of the checkpoint the last restore_params() actually
+        loaded (may be older than latest_step() after a fallback)."""
+        return (self._restored_step if self._restored_step is not None
+                else self.latest_step())
 
     # -- save / restore -------------------------------------------------
     def save(self, step: int, state: Any) -> None:
@@ -63,10 +70,33 @@ class CheckpointManager:
         The saved tree is a TrainState (step, params, opt_state) NamedTuple,
         serialized by orbax as a nested container; restore without a
         template and dig out the params subtree.
+
+        When `step` is None, steps are tried NEWEST-FIRST and an
+        unreadable dir (e.g. the trainer was killed mid-save, leaving an
+        un-finalized orbax tmp) falls back to the next older complete
+        checkpoint — `latest_step()` afterwards reports the step actually
+        restored (the un-finalized dir has no `state` subdir and is
+        pruned from `all_steps` consumers via this retry, not deleted).
         """
-        raw = self.restore(step, template=None)
-        if raw is None:
-            return None
+        if step is None:
+            raw = None
+            for s in reversed(self.all_steps()):
+                try:
+                    raw = self.restore(s, template=None)
+                except Exception as e:          # un-finalized / corrupt dir
+                    print(f"[checkpoint] step {s} unreadable ({e!r}); "
+                          f"trying older", flush=True)
+                    continue
+                if raw is not None:
+                    self._restored_step = s
+                    break
+            if raw is None:
+                return None
+        else:
+            raw = self.restore(step, template=None)
+            if raw is None:
+                return None
+            self._restored_step = step
         if isinstance(raw, dict) and "params" in raw:
             return raw["params"]
         if isinstance(raw, (list, tuple)) and len(raw) == 3:
