@@ -108,10 +108,14 @@ hardstop_check "QUALITY_r04" 3000
 timeout 3000 python tools/eval_quality.py --config small \
   --mesh-dir "$ROOT/test/meshes" --env-dir "$ROOT/test/envs" \
   --ckpt "$ROOT/run/checkpoints" --vae-ckpt "$ROOT/run/vae_checkpoints" \
-  --n 32 --steps 20 --lpips --out QUALITY_r04.json
+  --n 32 --steps 20 --lpips --dump-images artifacts/r04/grids \
+  --out QUALITY_r04.json
 RC=$?; echo "=== $(date -u) eval rc=$RC"; probe_if_timeout $RC
 STEP=$(python -c "import json; print(json.load(open('QUALITY_r04.json'))['checkpoint_step'])" 2>/dev/null || echo "?")
 commit_json QUALITY_r04.json "QUALITY_r04: held-out eval of the restored round-4 checkpoint (step $STEP, n=32, LPIPS; FID omitted — uncalibrated without ported Inception weights)"
+if ls artifacts/r04/grids/*.png >/dev/null 2>&1; then
+  git add artifacts/r04/grids && git commit -m "Visual eval grids for QUALITY_r04: GT row over prediction row (image/fwd render, normal, albedo, spec, diff) per held-out object" && echo "=== committed eval grids"
+fi
 
 # ---- 3. random-dual baseline, same harness + same trained VAE -------------
 hardstop_check "QUALITY_r04_random_baseline" 3000
