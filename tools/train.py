@@ -66,6 +66,14 @@ def main(argv=None):
                          "train/train.py:184-439, as one XLA program); "
                          "the input pipeline feeds raw scene tensors — "
                          "no per-batch host round trip of rendered maps")
+    ap.add_argument("--scene-bank", action="store_true",
+                    help="fresh-scenes training: load the WHOLE mesh/env "
+                         "set into HBM once and sample+render a new random "
+                         "batch inside the jitted step (zero per-step host "
+                         "transfer; the fix for finite-pool overfitting — "
+                         "see data/scene_bank.py)")
+    ap.add_argument("--no-augment", action="store_true",
+                    help="disable the scene-bank augmentations")
     ap.add_argument("--resolution", type=int,
                     help="render resolution (default: config's)")
     ap.add_argument("--cache-batches", type=int,
@@ -123,12 +131,29 @@ def main(argv=None):
                  "needs --mesh-dir/--env-dir and excludes --synthetic "
                  "and --cache-batches (the pre-rendered pool already "
                  "sidesteps per-step rendering)")
+    if args.scene_bank and (args.synthetic or args.cache_batches
+                            or args.render_in_step):
+        ap.error("--scene-bank subsumes --render-in-step and excludes "
+                 "--synthetic/--cache-batches (it samples fresh scenes "
+                 "from the device-resident bank every step)")
+
+    bank = None
+    if args.scene_bank:
+        from unirenderer_tpu.data.scene_bank import load_scene_bank
+        bank = load_scene_bank(args.mesh_dir, args.env_dir, cfg.data)
+        n_m = bank["v_pos"].shape[0]
+        n_e = bank["diffuse"].shape[0]
+        mb = sum(a.nbytes for a in bank.values()) / 1e6
+        print(f"[train] scene bank: {n_m} meshes, {n_e} envs, {mb:.0f} MB "
+              f"device-resident")
 
     trainer = Trainer(cfg, args.workdir, fsdp=args.fsdp,
                       dtype=jnp.bfloat16 if name == "flagship"
                       else jnp.float32,
                       report_to=tuple(args.report_to.split(",")),
-                      render_in_step=args.render_in_step)
+                      render_in_step=args.render_in_step,
+                      scene_bank=bank,
+                      bank_augment=not args.no_augment)
 
     if args.vae_ckpt and args.vae_ckpt.endswith(".npz"):
         from unirenderer_tpu.core.checkpoint import load_params_npz
@@ -167,7 +192,9 @@ def main(argv=None):
     n_dev = len(jax.devices())
     global_batch = cfg.train.batch_size_per_device * n_dev
 
-    if args.synthetic:
+    if args.scene_bank:
+        batches = iter(())      # unused: the trainer feeds itself the bank
+    elif args.synthetic:
         batches = synthetic_batches(cfg, global_batch)
     else:
         # async prefetched pipeline: render-collate runs in a background
@@ -218,6 +245,12 @@ def main(argv=None):
             val_batch = next(synthetic_batches(cfg, 1, seed=999))
         else:
             from unirenderer_tpu.data.objaverse import ObjaverseDataTest
+            if args.scene_bank:     # pipeline branch didn't run
+                meshes = sorted(glob.glob(
+                    os.path.join(args.mesh_dir, "*.npz")))
+                envs = sorted(
+                    d for d in glob.glob(os.path.join(args.env_dir, "*"))
+                    if os.path.isdir(d))
             vds = ObjaverseDataTest(cfg.data, meshes, envs, seed=4321)
             val_batch = collate_render(
                 [vds[0]], resolution=args.resolution

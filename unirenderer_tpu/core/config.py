@@ -313,6 +313,11 @@ def tiny(latent_size: int = 8) -> SystemConfig:
         sampler=SamplerConfig(num_steps=3, ensemble=1),
         render=RenderConfig(resolution=32, env_res=16, env_min_res=4,
                             max_mip_level=1, raster_chunk=64),
+        # data.resolution matches the tiny VAE input (sample_size=16) so
+        # fused render-in-step/scene-bank smoke runs render at toy scale
+        # instead of inheriting the flagship 512^2 default
+        data=DataConfig(resolution=16, texture_res=32,
+                        v_pad=4096, t_pad=8192, random_camera=True),
         # validation_every=2 so smoke runs exercise the validation hook
         train=TrainConfig(batch_size_per_device=2, validation_every=2),
     )

@@ -1,0 +1,171 @@
+"""Device-resident scene bank + on-device scene sampling.
+
+The round-4 quality runs trained from a finite pre-rendered pool (800
+batches cycled ~75x over 60k steps); the held-out FORWARD-render PSNR
+*degraded* with training (QUALITY_r04_trajectory.json: 11.2 -> 8.0 between
+10k and 50k steps) while the inverse maps kept improving — the image-
+synthesis stream memorizing the pool.  The reference avoids this by
+rendering fresh scenes inside the train loop on the GPU every step
+(train/train.py:184-439 collate_fn); its TPU-native equivalent is this
+module: the ENTIRE synthetic scene set (meshes, textures, env mips — tens
+of MB) lives in HBM as stacked arrays, and each train step draws a fresh
+batch of scenes *inside the jitted step* — random mesh/env/material/camera
+plus augmentations (anisotropic mesh scale, albedo color jitter, env
+intensity/tint) — with ZERO per-step host transfer.  Through the axon
+relay, host->device scene bytes were the dominant collate cost
+(COLLATE_r04_64: 4.5 s/batch vs a 0.22 s model step), so keeping the data
+on device is both a throughput and a generalization fix.
+
+Bank layout (numpy on host; replicate to devices once):
+  v_pos/v_nrm/v_tng (M,V,3) f32, v_tex (M,V,2), t_idx (M,T,3) i32,
+  kds (M,R,R,3), spec_0..spec_{L-1} (E,6,r_l,r_l,3), diffuse (E,6,rd,rd,3)
+Meshes are padded to the max (V,T) over the set (degenerate all-zero
+triangles are ignored by the rasterizer — data/objaverse.pad_mesh).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unirenderer_tpu.core.config import DataConfig
+from unirenderer_tpu.render import camera as cam
+
+BANK_MESH_KEYS = ("v_pos", "v_nrm", "v_tng", "v_tex", "t_idx")
+
+# the 6 channel permutations of an RGB albedo texture
+_PERMS = np.asarray([[0, 1, 2], [0, 2, 1], [1, 0, 2],
+                     [1, 2, 0], [2, 0, 1], [2, 1, 0]], np.int32)
+
+
+def load_scene_bank(mesh_dir: str, env_dir: str, cfg: DataConfig,
+                    max_meshes: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Stack every preprocessed mesh (.npz) and env (mip dir) into one
+    pytree of batched arrays.  Pads meshes to the set-wide max (V,T)
+    rounded up to 128 (TPU lane width), NOT to cfg.v_pad/t_pad — the
+    rasterizer's cost scales with padded T, and synthetic sets are
+    uniform-topology."""
+    from unirenderer_tpu.data.objaverse import (
+        ObjaverseData, load_mesh_npz, pad_mesh,
+    )
+
+    paths = sorted(glob.glob(os.path.join(mesh_dir, "*.npz")))
+    if max_meshes:
+        paths = paths[:max_meshes]
+    assert paths, f"no meshes under {mesh_dir}"
+    raws = [load_mesh_npz(p) for p in paths]
+    v_pad = max(r["v_pos"].shape[0] for r in raws)
+    t_pad = max(r["t_idx"].shape[0] for r in raws)
+    v_pad += (-v_pad) % 128
+    t_pad += (-t_pad) % 128
+
+    helper = ObjaverseData(cfg, paths, ["."])   # texture loader only
+    bank: Dict[str, np.ndarray] = {}
+    meshes = []
+    kds = []
+    for p, r in zip(paths, raws):
+        kds.append(helper._load_kd_texture(r, p))
+        meshes.append(pad_mesh(r, v_pad, t_pad))
+    for k in BANK_MESH_KEYS:
+        bank[k] = np.stack([m[k] for m in meshes])
+    bank["kds"] = np.stack(kds)
+
+    env_dirs = sorted(d for d in glob.glob(os.path.join(env_dir, "*"))
+                      if os.path.isdir(d))
+    assert env_dirs, f"no env dirs under {env_dir}"
+    n_mips = 0
+    while os.path.exists(os.path.join(env_dirs[0],
+                                      f"specular_{n_mips}.npy")):
+        n_mips += 1
+    for l in range(n_mips):
+        bank[f"spec_{l}"] = np.stack(
+            [np.load(os.path.join(d, f"specular_{l}.npy"))
+             for d in env_dirs])
+    bank["diffuse"] = np.stack(
+        [np.load(os.path.join(d, "diffuse.npy")) for d in env_dirs])
+    return bank
+
+
+def sample_scenes(bank: Dict[str, jax.Array], rng: jax.Array, batch: int,
+                  cfg: DataConfig, augment: bool = True
+                  ) -> Dict[str, jax.Array]:
+    """Draw a fresh batch of scenes from the bank — jit-traceable, runs
+    entirely on device.  Output matches data/objaverse.stack_scene, so it
+    feeds collate_from_scene / the render-in-step train path unchanged.
+
+    Sampling distribution mirrors ObjaverseData._get (mesh/env uniform,
+    11x11 material grid, az U(0,360) / el U(30,150) random camera); the
+    augmentations go beyond the reference's fixed per-epoch scenes:
+      * anisotropic mesh scale U(0.7,1.1)^3 (normals via inverse-transpose)
+      * albedo channel permutation + per-channel gain U(0.55,1.0)
+      * env intensity U(0.6,1.4) x per-channel tint U(0.8,1.25)
+    """
+    n_mesh = bank["v_pos"].shape[0]
+    n_env = bank["diffuse"].shape[0]
+    g = cfg.material_grid
+    ks = jax.random.split(rng, 12)
+
+    midx = jax.random.randint(ks[0], (batch,), 0, n_mesh)
+    eidx = jax.random.randint(ks[1], (batch,), 0, n_env)
+    metallic = jax.random.randint(ks[2], (batch,), 0, g) / (g - 1.0)
+    roughness = jax.random.randint(ks[3], (batch,), 0, g) / (g - 1.0)
+    az = jax.random.uniform(ks[4], (batch,), minval=0.0, maxval=360.0)
+    el = jax.random.uniform(ks[5], (batch,), minval=30.0, maxval=150.0)
+
+    scene: Dict[str, jax.Array] = {}
+    v_pos = bank["v_pos"][midx]
+    v_nrm = bank["v_nrm"][midx]
+    v_tng = bank["v_tng"][midx]
+    kd = bank["kds"][midx]
+    n_mips = len([k for k in bank if k.startswith("spec_")])
+    spec = [bank[f"spec_{l}"][eidx] for l in range(n_mips)]
+    diffuse = bank["diffuse"][eidx]
+
+    if augment:
+        # anisotropic scale: positions *s, normals /s (inverse-transpose),
+        # tangents *s; renormalize direction vectors
+        s = jax.random.uniform(ks[6], (batch, 1, 3), minval=0.7, maxval=1.1)
+        v_pos = v_pos * s
+        v_nrm = _renorm(v_nrm / s)
+        v_tng = _renorm(v_tng * s)
+        # albedo texture: channel permutation + per-channel gain
+        perm = jnp.asarray(_PERMS)[jax.random.randint(ks[7], (batch,), 0, 6)]
+        kd = jnp.take_along_axis(kd, perm[:, None, None, :], axis=-1)
+        gain = jax.random.uniform(ks[8], (batch, 1, 1, 3),
+                                  minval=0.55, maxval=1.0)
+        kd = jnp.clip(kd * gain, 0.0, 1.0)
+        # env: overall intensity x mild per-channel tint (same factors on
+        # every mip so the prefiltered pyramid stays consistent)
+        inten = jax.random.uniform(ks[9], (batch, 1, 1, 1, 1),
+                                   minval=0.6, maxval=1.4)
+        tint = jax.random.uniform(ks[10], (batch, 1, 1, 1, 3),
+                                  minval=0.8, maxval=1.25)
+        spec = [m * inten * tint for m in spec]
+        diffuse = diffuse * inten * tint
+
+    scene["v_pos"] = v_pos
+    scene["v_nrm"] = v_nrm
+    scene["v_tng"] = v_tng
+    scene["v_tex"] = bank["v_tex"][midx]
+    scene["t_idx"] = bank["t_idx"][midx]
+    scene["kds"] = kd
+    for l, m in enumerate(spec):
+        scene[f"spec_{l}"] = m
+    scene["diffuse"] = diffuse
+    scene["metallics"] = metallic.astype(jnp.float32)
+    scene["roughnesses"] = roughness.astype(jnp.float32)
+
+    mvp_cp = jax.vmap(lambda a, e: cam.spherical_camera(
+        a, e, cfg.camera_distance))(az, el)
+    scene["mvps"], scene["camposes"] = mvp_cp
+    scene["nrots"] = jax.vmap(cam.canonical_normal_rotation)(az, el)
+    return scene
+
+
+def _renorm(v: jax.Array) -> jax.Array:
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)

@@ -213,16 +213,21 @@ def make_tp_train_step(train_step, mesh: Mesh, state: Any,
 
 def make_sharded_train_step(train_step, mesh: Mesh,
                             axis_name: str = "data",
-                            fsdp: bool = False, state=None):
+                            fsdp: bool = False, state=None,
+                            replicate_batch: bool = False):
     """jit the train step with DP shardings: batch split over `data`,
     state/params replicated (or FSDP-sharded), rng replicated.
 
     The returned function has signature train_step(state, vae_params, ctx,
     batch, rng); gradients are averaged by XLA's sharding propagation (the
     mean over the global batch implies a psum over ICI).
+
+    `replicate_batch` keeps the 4th argument replicated instead — used by
+    the scene-bank step, whose "batch" is the device-resident bank (the
+    sampled scene is sharded inside the step via a sharding constraint).
     """
     repl = replicated(mesh)
-    bs = batch_sharding(mesh, axis_name)
+    bs = repl if replicate_batch else batch_sharding(mesh, axis_name)
     if fsdp and state is not None:
         state_sh = fsdp_param_sharding(state, mesh, axis_name)
     else:

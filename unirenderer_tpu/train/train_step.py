@@ -181,3 +181,44 @@ def make_render_train_step(cfg: SystemConfig, dual, vae,
         return base(state, vae_params, ctx, batch, rng)
 
     return render_train_step
+
+
+def make_bank_train_step(cfg: SystemConfig, dual, vae,
+                         schedule: DiffusionSchedule, batch_size: int,
+                         resolution: int = 0, ssaa: int = 0,
+                         bg: float = 1.0, augment: bool = True,
+                         scene_constraint=None):
+    """Fresh-scenes training: sample a NEW random batch of scenes from a
+    device-resident bank (data/scene_bank) + rasterize + shade + VAE encode
+    + dual-schedule loss + optimizer — ONE XLA program per step whose only
+    inputs are (state, vae_params, ctx, bank, rng).  Zero per-step host
+    transfer; infinite effective dataset (the fix for the round-4 image-
+    stream overfitting, QUALITY_r04_trajectory.json).
+
+    The reference's analogue renders fresh scenes on the GPU inside
+    collate_fn every step (train/train.py:184-439).
+
+    `scene_constraint` (optional) shards the sampled scene over the data
+    axis for multi-chip runs (lax.with_sharding_constraint over P('data')):
+    sampling is trivially cheap so each device computes it redundantly and
+    keeps its slice — no host-side batch distribution at all.
+    """
+    base = make_train_step(cfg, dual, vae, schedule)
+    res = resolution or cfg.data.resolution
+    ss = ssaa or cfg.data.ssaa
+
+    def bank_train_step(state: TrainState, vae_params, ctx, bank, rng
+                        ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        from unirenderer_tpu.data.objaverse import collate_from_scene
+        from unirenderer_tpu.data.scene_bank import sample_scenes
+        scene_rng = jax.random.fold_in(jax.random.fold_in(rng, state.step),
+                                       0x5CE7E)
+        scene = sample_scenes(bank, scene_rng, batch_size, cfg.data,
+                              augment=augment)
+        if scene_constraint is not None:
+            scene = scene_constraint(scene)
+        batch = collate_from_scene(scene, res, ssaa=ss, bg=bg)
+        batch = {k: batch[k] for k in BATCH_KEYS}
+        return base(state, vae_params, ctx, batch, rng)
+
+    return bank_train_step

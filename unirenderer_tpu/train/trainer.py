@@ -37,10 +37,12 @@ class Trainer:
     def __init__(self, cfg: SystemConfig, workdir: str,
                  n_devices: Optional[int] = None, fsdp: bool = False,
                  dtype=jnp.bfloat16, report_to: tuple = ("jsonl",),
-                 render_in_step: bool = False):
+                 render_in_step: bool = False, scene_bank=None,
+                 bank_augment: bool = True):
         self.cfg = cfg
         self.workdir = workdir
         self.render_in_step = render_in_step
+        self.scene_bank = scene_bank
         os.makedirs(workdir, exist_ok=True)
         rng = jax.random.key(cfg.train.seed)
         k1, k2, k3, self._rng = jax.random.split(rng, 4)
@@ -55,7 +57,25 @@ class Trainer:
 
         self.schedule = DiffusionSchedule.create(cfg.diffusion)
         self.mesh = pmesh.make_mesh(n_devices)
-        if render_in_step:
+        if scene_bank is not None:
+            # fresh-scenes training from a device-resident bank: sample +
+            # render + train as ONE program; only (state, rng) vary per
+            # step — zero host transfer (train_step.make_bank_train_step)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from unirenderer_tpu.train.train_step import (
+                make_bank_train_step,
+            )
+            gbatch = cfg.train.batch_size_per_device * self.mesh.size
+            dsh = NamedSharding(self.mesh, P("data"))
+            constraint = (
+                (lambda scene: jax.lax.with_sharding_constraint(
+                    scene, jax.tree.map(lambda _: dsh, scene)))
+                if self.mesh.size > 1 else None)
+            step_fn = make_bank_train_step(
+                cfg, self.dual, self.vae, self.schedule, gbatch,
+                augment=bank_augment, scene_constraint=constraint)
+        elif render_in_step:
             # the reference's in-loop render regime as ONE fused program
             # (train_step.make_render_train_step); batches are raw SCENE
             # pytrees (data/objaverse.stack_scene)
@@ -70,7 +90,8 @@ class Trainer:
         self.state = create_train_state(cfg, dual_params)
         self._step = pmesh.make_sharded_train_step(
             step_fn, self.mesh, fsdp=fsdp,
-            state=self.state if fsdp else None)
+            state=self.state if fsdp else None,
+            replicate_batch=scene_bank is not None)
 
         self.state = pmesh.replicate(self.state, self.mesh)
         self.vae_params_r = pmesh.replicate(self.vae_params, self.mesh)
@@ -149,13 +170,23 @@ class Trainer:
         max_steps = max_steps or cfg.max_steps
         start = self.maybe_resume()
         step = start
+        if self.scene_bank is not None:
+            # the "batch" is the bank itself, uploaded once and reused —
+            # the per-step inputs are only (state, rng)
+            import itertools
+            bank_r = pmesh.replicate(
+                jax.tree.map(jnp.asarray, self.scene_bank), self.mesh)
+            batch_iterator = itertools.repeat(bank_r)
         for batch in batch_iterator:
             if step >= max_steps:
                 break
-            if not self.render_in_step:
+            if self.scene_bank is not None:
+                pass                        # already on device, replicated
+            elif not self.render_in_step:
                 batch = {k: batch[k] for k in BATCH_KEYS}
-            with self.timer.phase("h2d"):
-                batch = pmesh.shard_batch(batch, self.mesh)
+            if self.scene_bank is None:
+                with self.timer.phase("h2d"):
+                    batch = pmesh.shard_batch(batch, self.mesh)
             with self.timer.phase("step", sync=False):
                 self.state, metrics = self._step(
                     self.state, self.vae_params_r, self.ctx_r, batch,
