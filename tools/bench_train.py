@@ -31,6 +31,12 @@ def main(argv=None):
                          "(SSAA) inside the train step (the reference's "
                          "in-loop render, train/train.py:184-439) — scene "
                          "tensors in, one XLA program per step")
+    ap.add_argument("--optimizer", choices=("adamw", "adafactor"),
+                    default="adamw",
+                    help="adamw = reference parity but its f32 state is "
+                         "20.9GB for the 1.74B-param flagship (> one "
+                         "16GB v5e); adafactor = factored second moments, "
+                         "the single-chip-trainable configuration")
     args = ap.parse_args(argv)
 
     import jax
@@ -54,8 +60,10 @@ def main(argv=None):
 
     base = config.flagship()
     cfg = dataclasses.replace(
-        base, unet=dataclasses.replace(
-            base.unet, use_flash_attention=not args.no_flash))
+        base,
+        unet=dataclasses.replace(base.unet,
+                                 use_flash_attention=not args.no_flash),
+        train=dataclasses.replace(base.train, optimizer=args.optimizer))
 
     dual = DualStreamModel(cfg.unet, jnp.bfloat16)
     vae = AutoencoderKL(cfg.vae, jnp.bfloat16)
@@ -171,6 +179,7 @@ def main(argv=None):
         "value": round(ms, 1),
         "samples_per_sec_per_chip": round(b / (ms / 1000.0), 3),
         "batch": b, "flash": not args.no_flash,
+        "optimizer": args.optimizer,
         "compile_s": round(compile_s, 1), "last_loss": round(loss, 4),
         "peak_hbm_gb": peak_hbm_gb,
     }))

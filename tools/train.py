@@ -37,6 +37,10 @@ def main(argv=None):
                     help="warmup steps (0 = none)")
     ap.add_argument("--lr-decay-steps", type=int,
                     help="cosine horizon; defaults to --steps")
+    ap.add_argument("--optimizer", choices=("adamw", "adafactor"),
+                    help="adamw (default, reference parity) or adafactor "
+                         "(factored second moments — fits the flagship on "
+                         "a single 16GB chip; see core/config.TrainConfig)")
     ap.add_argument("--checkpoint-every", type=int,
                     help="steps between checkpoint saves (each save is a "
                     "full-state host transfer — the riskiest RPC through "
@@ -113,6 +117,8 @@ def main(argv=None):
                                          or cfg.train.max_steps)
     if args.lr_warmup is not None:
         tr_over["lr_warmup_steps"] = args.lr_warmup
+    if args.optimizer:
+        tr_over["optimizer"] = args.optimizer
     if args.checkpoint_every:
         tr_over["checkpoint_every"] = args.checkpoint_every
     if tr_over:

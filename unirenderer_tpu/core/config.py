@@ -187,6 +187,12 @@ class TrainConfig:
     train/train.py:1375-1378,1416 and train/train.sh:21-42."""
     batch_size_per_device: int = 2
     learning_rate: float = 5e-6
+    # "adamw" (reference parity, train/train.py:1044-1053) or "adafactor":
+    # factored second moments cut optimizer state from 2x to ~0x param
+    # size — the difference between flagship 512^2 training fitting on one
+    # 16GB v5e (AdamW state alone is 20.9GB for the 1.74B-param dual
+    # stream) and not; the standard big-model TPU optimizer (T5/PaLM).
+    optimizer: str = "adamw"
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     adam_weight_decay: float = 1e-2

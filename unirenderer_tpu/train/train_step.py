@@ -52,12 +52,18 @@ def make_lr_schedule(cfg: SystemConfig):
 
 def make_optimizer(cfg: SystemConfig) -> optax.GradientTransformation:
     t = cfg.train
-    opt = optax.chain(
-        optax.clip_by_global_norm(t.max_grad_norm),
-        optax.adamw(make_lr_schedule(cfg), b1=t.adam_beta1,
-                    b2=t.adam_beta2,
-                    eps=t.adam_eps, weight_decay=t.adam_weight_decay),
-    )
+    if t.optimizer == "adafactor":
+        # factored second moments, no first moment: optimizer state is
+        # O(rows+cols) instead of 2x params — what lets the 1.74B-param
+        # flagship train on a single 16GB chip (config.TrainConfig notes)
+        inner = optax.adafactor(make_lr_schedule(cfg),
+                                clipping_threshold=1.0,
+                                weight_decay_rate=t.adam_weight_decay)
+    else:
+        inner = optax.adamw(make_lr_schedule(cfg), b1=t.adam_beta1,
+                            b2=t.adam_beta2,
+                            eps=t.adam_eps, weight_decay=t.adam_weight_decay)
+    opt = optax.chain(optax.clip_by_global_norm(t.max_grad_norm), inner)
     if t.gradient_accumulation_steps > 1:
         opt = optax.MultiSteps(opt, t.gradient_accumulation_steps)
     return opt
