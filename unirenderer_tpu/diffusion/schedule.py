@@ -65,8 +65,9 @@ def compute_dual_t(rng: jax.Array, num_timesteps: int, batch: int):
 
     One stream gets uniform t in [0, T); the other is anchored per-sample at
     t in {0, T-1}.  Which stream is which flips per step:
-      idx == 0 -> image stream anchored (forward-rendering task)
-      idx == 1 -> attribute stream anchored (inverse-rendering task)
+      idx == 0 (forward rendering): image stream uniform (being denoised),
+               attributes anchored (the conditioning input)
+      idx == 1 (inverse rendering): attribute stream uniform, image anchored
     Returns (t_img, t_attr, is_inverse_rendering) with is_inverse a scalar
     bool array (used under lax.cond for the cycle pass).
     """
