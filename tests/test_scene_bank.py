@@ -92,6 +92,26 @@ def test_sample_feeds_collate(bank):
     assert float((np.asarray(out["mask"]) > 0).mean()) > 0.01
 
 
+def test_synthetic_bank_matches_file_bank_schema(bank):
+    """synthetic_bank (used by tests + the driver dryrun) must be
+    drop-in for a file-loaded bank: same keys, sampleable, renderable."""
+    cfg = _tiny_cfg()
+    from unirenderer_tpu.data.objaverse import collate_from_scene
+    from unirenderer_tpu.data.scene_bank import synthetic_bank
+
+    sb = synthetic_bank(cfg.data, v_pad=256, t_pad=512)
+    assert set(sb) == set(bank)
+    for k in sb:
+        assert sb[k].ndim == bank[k].ndim, k
+        assert sb[k].dtype == bank[k].dtype, k
+    scene = sample_scenes(jax.tree.map(jnp.asarray, sb),
+                          jax.random.key(2), 2, cfg.data)
+    out = jax.jit(lambda s: collate_from_scene(
+        s, cfg.data.resolution, ssaa=1))(scene)
+    assert np.isfinite(np.asarray(out["image"])).all()
+    assert float((np.asarray(out["mask"]) > 0).mean()) > 0.01
+
+
 def test_bank_train_step_runs_sharded(bank):
     """Fused sample+render+train step over the 8-device DP mesh: params
     replicated, bank replicated, sampled scene sharded inside the step."""

@@ -91,6 +91,40 @@ def load_scene_bank(mesh_dir: str, env_dir: str, cfg: DataConfig,
     return bank
 
 
+def synthetic_bank(cfg: DataConfig, n_mesh: int = 3, n_env: int = 2,
+                   v_pad: int = 1024, t_pad: int = 2048,
+                   env_res: int = 8) -> Dict[str, np.ndarray]:
+    """A tiny in-memory bank (deformed spheres + constant envs) for tests
+    and the driver dryrun — no data files needed."""
+    from unirenderer_tpu.data.objaverse import pad_mesh
+    from unirenderer_tpu.render.mesh import make_sphere
+
+    prng = np.random.default_rng(0)
+    sphere = make_sphere(8)
+    base = {"v_pos": np.asarray(sphere.v_pos),
+            "t_idx": np.asarray(sphere.t_pos_idx),
+            "v_nrm": np.asarray(sphere.v_nrm),
+            "v_tex": np.asarray(sphere.v_tex),
+            "v_tng": np.asarray(sphere.v_tng)}
+    meshes, kds = [], []
+    for i in range(n_mesh):
+        m = dict(base)
+        m["v_pos"] = base["v_pos"] * prng.uniform(0.7, 1.0)
+        meshes.append(pad_mesh(m, v_pad, t_pad))
+        kds.append(np.full((cfg.texture_res, cfg.texture_res, 3),
+                           0.3 + 0.1 * i, np.float32))
+    bank = {k: np.stack([m[k] for m in meshes]) for k in BANK_MESH_KEYS}
+    bank["kds"] = np.stack(kds)
+    for l, r in enumerate((env_res, env_res // 2)):
+        bank[f"spec_{l}"] = np.stack(
+            [np.full((6, r, r, 3), 0.7 - 0.2 * e, np.float32)
+             for e in range(n_env)])
+    bank["diffuse"] = np.stack(
+        [np.full((6, env_res // 2, env_res // 2, 3), 0.4, np.float32)
+         for _ in range(n_env)])
+    return bank
+
+
 def sample_scenes(bank: Dict[str, jax.Array], rng: jax.Array, batch: int,
                   cfg: DataConfig, augment: bool = True
                   ) -> Dict[str, jax.Array]:
