@@ -187,3 +187,45 @@ def test_trainer_install_dual_warm_start(tmp_path):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
     state = tr.train(synthetic_batches(cfg, batch=2), max_steps=1)
     assert int(jax.device_get(state.step)) == 1
+
+
+def test_adafactor_optimizer_steps_and_shrinks_state(tmp_path):
+    """--optimizer adafactor (the single-chip flagship configuration:
+    AdamW's f32 moments are 20.9GB for the 1.74B-param flagship, over one
+    16GB v5e): the factored optimizer must step, reduce the loss signal
+    pathway (finite loss, params change), and hold O(rows+cols) state —
+    strictly smaller than AdamW's 2x-params moments."""
+    import dataclasses
+
+    from unirenderer_tpu.train.train_step import create_train_state
+
+    def nbytes(tree):
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree_util.tree_leaves(tree)
+                   if hasattr(x, "size"))
+
+    cfg_af = dataclasses.replace(
+        small_cfg(), train=dataclasses.replace(
+            small_cfg().train, optimizer="adafactor"))
+    tr = Trainer(cfg_af, str(tmp_path / "af"), n_devices=1,
+                 dtype=jnp.float32)
+    p0 = jax.tree_util.tree_leaves(jax.device_get(tr.state.params))[0].copy()
+    state = tr.train(synthetic_batches(cfg_af, batch=2), max_steps=2)
+    assert int(jax.device_get(state.step)) == 2
+    p1 = jax.tree_util.tree_leaves(jax.device_get(state.params))[0]
+    assert np.isfinite(p1).all()
+    assert not np.allclose(p0, p1)
+
+    cfg_aw = small_cfg()
+    s_aw = create_train_state(cfg_aw, jax.device_get(tr.state.params))
+    s_af = create_train_state(cfg_af, jax.device_get(tr.state.params))
+    # tiny config: most kernels are below adafactor's 128 min-factor dim,
+    # so the win is modest here; the structural check is the next assert
+    assert nbytes(s_af.opt_state) < 0.55 * nbytes(s_aw.opt_state)
+
+    # where factoring applies (both trailing dims >= 128, i.e. every big
+    # matmul in the flagship) the state is O(rows+cols), not O(rows*cols)
+    big = {"params": {"dense": {"kernel": np.zeros((256, 256), np.float32)}}}
+    s_big_af = create_train_state(cfg_af, big)
+    s_big_aw = create_train_state(cfg_aw, big)
+    assert nbytes(s_big_af.opt_state) < 0.02 * nbytes(s_big_aw.opt_state)

@@ -96,33 +96,39 @@ if hardstop_check "QUALITY_r04b" 3000; then
   fi
 fi
 
-# ---- 3. flagship 512^2 train step (adafactor) ------------------------------
-if hardstop_check "TRAIN512_r04" 2400; then
-  timeout 2400 python tools/bench_train.py --batch 4 --iters 2 \
-    --optimizer adafactor | tail -1 > TRAIN512_r04.json
+# ---- 2b. reference-protocol ensemble-of-5 inverse eval ---------------------
+if hardstop_check "QUALITY_r04b_ens5" 2400; then
+  timeout 2400 python tools/eval_quality.py --config small \
+    --mesh-dir "$ROOT/test/meshes" --env-dir "$ROOT/test/envs" \
+    --ckpt "$ROOT/run/checkpoints" --vae-ckpt artifacts/r04/vae_small.npz \
+    --n 32 --steps 20 --ensemble 5 --out QUALITY_r04b_ens5.json
   RC=$?; probe_if_timeout $RC
-  if ! json_ok TRAIN512_r04.json && hardstop_check "TRAIN512_r04 retry" 2400; then
-    echo "=== batch 4 failed; retrying batch 2"
-    timeout 2400 python tools/bench_train.py --batch 2 --iters 2 \
-      --optimizer adafactor | tail -1 > TRAIN512_r04.json
-    RC=$?; probe_if_timeout $RC
-  fi
-  commit_json TRAIN512_r04.json "TRAIN512_r04: flagship 512^2 dual-schedule train step on the v5e with ADAFACTOR (AdamW f32 state is 20.9GB for the 1.74B-param flagship, structurally > one 16GB chip; factored second moments are the single-chip-trainable configuration — multi-chip AdamW runs via FSDP, tests/test_parallel_train.py)"
+  commit_json QUALITY_r04b_ens5.json "QUALITY_r04b ensemble-of-5: the reference's inverse eval protocol (test_real.py:539-564 — 5 runs at 20 UniPC steps, averaged) on the held-out set; the ensemble is folded into the batch dim as one jitted scan (pipelines._inverse)"
 fi
 
+# ---- 3. flagship 512^2 train step (adafactor) ------------------------------
+# batch ladder 4 -> 2 -> 1: even batch 1 proves the reference's regime
+# (512^2 flagship training) FITS and STEPS on one 16GB v5e
+for BS in 4 2 1; do
+  hardstop_check "TRAIN512_r04 b$BS" 2400 || break
+  timeout 2400 python tools/bench_train.py --batch "$BS" --iters 2 \
+    --optimizer adafactor | tail -1 > TRAIN512_r04.json
+  RC=$?; probe_if_timeout $RC
+  json_ok TRAIN512_r04.json && break
+  echo "=== TRAIN512 batch $BS failed"
+done
+commit_json TRAIN512_r04.json "TRAIN512_r04: flagship 512^2 dual-schedule train step on the v5e with ADAFACTOR (AdamW f32 state is 20.9GB for the 1.74B-param flagship, structurally > one 16GB chip; factored second moments are the single-chip-trainable configuration — multi-chip AdamW runs via FSDP, tests/test_parallel_train.py)"
+
 # ---- 4. fused render-in-step flagship (adafactor) ---------------------------
-if hardstop_check "RENDERSTEP512_r04" 2400; then
-  timeout 2400 python tools/bench_train.py --batch 4 --iters 2 \
+for BS in 4 2 1; do
+  hardstop_check "RENDERSTEP512_r04 b$BS" 2400 || break
+  timeout 2400 python tools/bench_train.py --batch "$BS" --iters 2 \
     --render-in-step --optimizer adafactor | tail -1 > RENDERSTEP512_r04.json
   RC=$?; probe_if_timeout $RC
-  if ! json_ok RENDERSTEP512_r04.json && hardstop_check "RENDERSTEP512 retry" 2400; then
-    echo "=== render-in-step batch 4 failed; retrying batch 2"
-    timeout 2400 python tools/bench_train.py --batch 2 --iters 2 \
-      --render-in-step --optimizer adafactor | tail -1 > RENDERSTEP512_r04.json
-    RC=$?; probe_if_timeout $RC
-  fi
-  commit_json RENDERSTEP512_r04.json "RENDERSTEP512_r04: FUSED render-in-step flagship 512^2 train step (rasterize+shade SSAA2 + VAE encodes + dual-schedule loss + adafactor as ONE XLA program — the reference's in-loop render regime, train/train.py:184-439)"
-fi
+  json_ok RENDERSTEP512_r04.json && break
+  echo "=== RENDERSTEP512 batch $BS failed"
+done
+commit_json RENDERSTEP512_r04.json "RENDERSTEP512_r04: FUSED render-in-step flagship 512^2 train step (rasterize+shade SSAA2 + VAE encodes + dual-schedule loss + adafactor as ONE XLA program — the reference's in-loop render regime, train/train.py:184-439)"
 
 # ---- 5. train-set control: the generalization gap -------------------------
 if hardstop_check "QUALITY_r04b_train_set" 1800; then
