@@ -129,3 +129,33 @@ def test_auto_routing_adopts_ab_winner():
     assert auto_kernel(1024, 80) == "flash"
     # larger-sequence serving shapes follow the same softmax-bound logic
     assert auto_kernel(8192, 40) == "xla_dpa"
+
+
+def test_nontile_routing_prefers_xla_dpa():
+    """Shapes the Pallas kernels can't tile: self-attention at the 16^2
+    level (S=256, D=160) routes to XLA's fused dot_product_attention
+    (measured faster than d-major, ATTN_AB_r04.json); cross-attention
+    (sk=77) and the unmeasured S=64/D=320 level keep the d-major
+    fallback; parity of the fused path vs naive at that shape."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from unirenderer_tpu.models.layers import dmajor_attention
+    from unirenderer_tpu.ops.flash_attention import nontile_xla_dpa
+
+    assert nontile_xla_dpa(256, 160, 256)
+    assert not nontile_xla_dpa(256, 160, 77)     # cross-attention
+    assert not nontile_xla_dpa(64, 320, 64)      # tiny level, unmeasured
+    assert not nontile_xla_dpa(4096, 40, 4096)   # tileable: handled by auto
+
+    b, s, h, d = 2, 256, 2, 160
+    ks = jax.random.split(jax.random.key(5), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, h, d), jnp.float32)
+    out = jax.nn.dot_product_attention(q, k, v)
+    ref = dmajor_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -102,6 +102,17 @@ def tpu_splash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.transpose(0, 2, 1, 3)
 
 
+def nontile_xla_dpa(s: int, d: int, sk: int) -> bool:
+    """Should a shape the Pallas kernels can't tile use XLA's fused
+    dot_product_attention instead of the d-major fallback?  Measured on
+    the v5e (ATTN_AB_r04.json): SELF-attention at the 16^2 level —
+    S=256, D=160 — runs 1.487 ms via xla_dpa vs 1.676 ms d-major.
+    Cross-attention (sk=77) and the tiny S=64/D=320 level are unmeasured
+    and stay on d-major."""
+    return (s == sk and s >= 256 and s % 128 == 0
+            and d > 128 and d % 128 != 0)
+
+
 def auto_kernel(s: int, d: int) -> str:
     """Per-shape kernel choice from the measured A/B (ATTN_AB_r03.json,
     v5e, B16 H8 bf16): at S4096/D40 — the 83%-FLOPs bucket — xla_dpa
@@ -124,13 +135,20 @@ def maybe_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array
     import os
 
     b, s, h, d = q.shape
-    if not flash_attention_available(s, d, sk=k.shape[1]):
-        return None
     which = os.environ.get("UNIRENDER_ATTN", "auto")
-    if which == "auto":
-        which = auto_kernel(s, d)
     if which == "dmajor":
         return None
+    if not flash_attention_available(s, d, sk=k.shape[1]):
+        # Pallas kernels can't tile this shape; the measured winner for
+        # the non-tileable SELF-attention bucket is still the fused XLA
+        # path, not d-major (see nontile_xla_dpa).
+        if (which in ("auto", "xla_dpa")
+                and jax.default_backend() == "tpu"
+                and nontile_xla_dpa(s, d, k.shape[1])):
+            return jax.nn.dot_product_attention(q, k, v)
+        return None
+    if which == "auto":
+        which = auto_kernel(s, d)
     if which == "splash":
         return tpu_splash_attention(q, k, v)
     if which == "xla_dpa":
