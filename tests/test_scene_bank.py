@@ -126,3 +126,34 @@ def test_bank_train_step_runs_sharded(bank):
     tr2 = Trainer(cfg, "/tmp/scene_bank_test_run", dtype=jnp.float32,
                   scene_bank=bank)
     assert tr2.maybe_resume() == 2
+
+
+def test_rotation_augmentation_is_rigid(bank):
+    """SO(3) augmentation (cfg.data.rotation_augment): the per-scene
+    matrices are proper rotations, vertex geometry stays rigid up to the
+    anisotropic scale, and the flag can be switched off."""
+    import dataclasses
+
+    from unirenderer_tpu.data.scene_bank import _random_rotations
+
+    R = np.asarray(_random_rotations(jax.random.key(4), 16))
+    for r in R:
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(r) > 0.99          # proper (no reflection)
+    # matrices differ across the batch (actually random)
+    assert not np.allclose(R[0], R[1])
+
+    cfg = _tiny_cfg()
+    b = jax.tree.map(jnp.asarray, bank)
+    scene = sample_scenes(b, jax.random.key(3), 4, cfg.data)
+    n = np.linalg.norm(np.asarray(scene["v_nrm"]), axis=-1)
+    assert np.allclose(n[n > 1e-3], 1.0, atol=1e-4)
+
+    off = dataclasses.replace(cfg.data, rotation_augment=False)
+    scene_off = sample_scenes(b, jax.random.key(3), 4, off)
+    assert scene_off["v_pos"].shape == scene["v_pos"].shape
+    # same rng, same sampled meshes: only the rotation should differ, so
+    # per-vertex radii (up to the shared anisotropic scale) must match
+    r_on = np.sort(np.linalg.norm(np.asarray(scene["v_pos"]), axis=-1))
+    r_off = np.sort(np.linalg.norm(np.asarray(scene_off["v_pos"]), axis=-1))
+    np.testing.assert_allclose(r_on, r_off, atol=1e-4)

@@ -179,6 +179,12 @@ class DataConfig:
     # static albedo-texture resolution for batched rendering (OBJ map_Kd
     # images are resized to this; constant-kd meshes get a tiled texture)
     texture_res: int = 256
+    # scene-bank augmentation: random SO(3) object rotation per sampled
+    # scene (data/scene_bank.sample_scenes).  Camera az/el sampling varies
+    # the VIEW direction but the environment light stays world-fixed;
+    # rotating the object decorrelates surface orientation from the light
+    # — diversity the reference's fixed per-epoch scenes never had.
+    rotation_augment: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -167,6 +167,17 @@ def sample_scenes(bank: Dict[str, jax.Array], rng: jax.Array, batch: int,
         v_pos = v_pos * s
         v_nrm = _renorm(v_nrm / s)
         v_tng = _renorm(v_tng * s)
+        if cfg.rotation_augment:
+            # random SO(3) object rotation (uniform via normalized
+            # quaternions): camera az/el only varies the view direction;
+            # this decorrelates surface orientation from the world-fixed
+            # environment light.  Rotations are orthogonal, so normals and
+            # tangents transform by the same matrix (inverse-transpose
+            # of R is R) and stay unit-length.
+            R = _random_rotations(ks[11], batch)           # (B, 3, 3)
+            v_pos = jnp.einsum("bvc,bdc->bvd", v_pos, R)
+            v_nrm = jnp.einsum("bvc,bdc->bvd", v_nrm, R)
+            v_tng = jnp.einsum("bvc,bdc->bvd", v_tng, R)
         # albedo texture: channel permutation + per-channel gain
         perm = jnp.asarray(_PERMS)[jax.random.randint(ks[7], (batch,), 0, 6)]
         kd = jnp.take_along_axis(kd, perm[:, None, None, :], axis=-1)
@@ -203,3 +214,19 @@ def sample_scenes(bank: Dict[str, jax.Array], rng: jax.Array, batch: int,
 
 def _renorm(v: jax.Array) -> jax.Array:
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+
+
+def _random_rotations(rng: jax.Array, batch: int) -> jax.Array:
+    """(B, 3, 3) rotation matrices uniform over SO(3): normalized gaussian
+    quaternions -> rotation matrices (Shoemake)."""
+    q = jax.random.normal(rng, (batch, 4))
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)], -1),
+    ], axis=1)
