@@ -49,9 +49,9 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from unirenderer_tpu.models.layers import dmajor_attention
+    from unirenderer_tpu.ops.attn_kernel import unet_flash_attention
     from unirenderer_tpu.ops.flash_attention import (
         flash_attention_available, tpu_flash_attention,
-        tpu_splash_attention,
     )
 
     b, h = args.batch, args.heads
@@ -101,14 +101,19 @@ def main(argv=None):
 
         cands = {"dmajor": dmajor_attention}
         if flash_attention_available(s, d):
+            # splash candidates retired after round 4: never beat flash
+            # where they compiled, 3/5 configs died with remote-compile
+            # HTTP 500 (ATTN_AB_r03/r04.json, PERF.md).
             cands["flash"] = tpu_flash_attention
-            cands["splash"] = tpu_splash_attention
-            cands["splash_bq4096"] = functools.partial(
-                tpu_splash_attention, block_q=4096, block_kv=512)
-            cands["splash_bq1024_bkv2048"] = functools.partial(
-                tpu_splash_attention, block_q=1024, block_kv=2048)
-            cands["splash_bq2048_bkv2048"] = functools.partial(
-                tpu_splash_attention, block_q=2048, block_kv=2048)
+            cands["unet_flash"] = unet_flash_attention
+            cands["unet_flash_nomax"] = functools.partial(
+                unet_flash_attention, running_max=False)
+            cands["unet_flash_nopipe"] = functools.partial(
+                unet_flash_attention, pipelined=False)
+            cands["unet_flash_bq1024"] = functools.partial(
+                unet_flash_attention, block_q=1024, block_k=1024)
+            cands["unet_flash_bk2048"] = functools.partial(
+                unet_flash_attention, block_q=512, block_k=2048)
 
         def xla_dpa(q, k, v):
             return jax.nn.dot_product_attention(q, k, v)

@@ -153,4 +153,10 @@ def maybe_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array
         return tpu_splash_attention(q, k, v)
     if which == "xla_dpa":
         return jax.nn.dot_product_attention(q, k, v)
+    if which == "unet_flash":
+        # forward-only specialized kernel (ops/attn_kernel.py) — A/B
+        # plumbing for the serving/sampling path; training keeps the
+        # library kernel's custom VJP (never select this for training).
+        from unirenderer_tpu.ops.attn_kernel import unet_flash_attention
+        return unet_flash_attention(q, k, v)
     return tpu_flash_attention(q, k, v)
