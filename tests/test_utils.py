@@ -100,3 +100,28 @@ def test_phase_timer_and_logger(tmp_path):
     import json
     rec = json.loads((tmp_path / "m.jsonl").read_text().strip())
     assert rec["loss"] == 0.5 and rec["step"] == 1
+
+
+def test_medium_config_builds_and_sizes():
+    """medium() (round-5: the step between small and flagship): geometry
+    is self-consistent (VAE downscale matches latent size), the dual
+    model shape-inits, and the parameter count lands between small and
+    flagship so single-chip AdamW still fits (PARITY §2.5)."""
+    cfg = config.medium()
+    assert cfg.data.resolution == cfg.vae.sample_size == 128
+    assert cfg.vae.sample_size // cfg.vae.downscale == cfg.unet.sample_size
+
+    def count(c):
+        u = c.unet
+        model = DualStreamModel(u, jnp.float32)
+        s = u.sample_size
+        args = (jnp.zeros((1, s, s, 4)), jnp.zeros((1, s, s, 28)),
+                jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 16, u.cross_attention_dim)))
+        t = jax.eval_shape(lambda: model.init(jax.random.key(0), *args))
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(t))
+
+    n_small, n_med = count(config.small()), count(cfg)
+    n_flag = count(config.flagship())
+    assert n_small < n_med < n_flag
+    assert 2e8 < n_med < 8e8   # AdamW f32 state ~2x params stays < 16GB

@@ -45,7 +45,7 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--ensemble", type=int, default=1)
-    ap.add_argument("--config", choices=("tiny", "small", "flagship"),
+    ap.add_argument("--config", choices=("tiny", "small", "medium", "flagship"),
                     default="flagship")
     ap.add_argument("--tiny", action="store_true",
                     help="alias for --config tiny")

@@ -47,7 +47,7 @@ def main(argv=None):
                     "the relay; see PERF.md wedge notes)")
     ap.add_argument("--fsdp", action="store_true")
     ap.add_argument("--synthetic", action="store_true")
-    ap.add_argument("--config", choices=("tiny", "small", "flagship"),
+    ap.add_argument("--config", choices=("tiny", "small", "medium", "flagship"),
                     default="flagship")
     ap.add_argument("--tiny", action="store_true",
                     help="alias for --config tiny")

@@ -33,7 +33,7 @@ def main(argv=None):
                     default="constant")
     ap.add_argument("--lr-warmup", type=int, default=500)
     ap.add_argument("--kl-weight", type=float, default=1e-6)
-    ap.add_argument("--config", choices=("tiny", "small", "flagship"),
+    ap.add_argument("--config", choices=("tiny", "small", "medium", "flagship"),
                     default="flagship")
     ap.add_argument("--tiny", action="store_true",
                     help="alias for --config tiny")

@@ -298,6 +298,44 @@ def small() -> SystemConfig:
     )
 
 
+def medium() -> SystemConfig:
+    """Intermediate scale for when `small` saturates: 128^2 images, 32^2
+    latents, flagship topology at ~3.2x small's parameter count (328M
+    dual-stream params — AdamW f32 state still fits one 16GB v5e).  Attention
+    buckets: S=1024/D=24 (level 0), S=256/D=48, S=64/D=96.  Warm starts
+    do NOT transfer across configs (different widths); a medium run
+    trains from scratch or distills."""
+    return SystemConfig(
+        unet=UNetConfig(
+            block_out_channels=(192, 384, 768),
+            layers_per_block=2,
+            down_block_attn=(True, True, False),
+            num_heads=8,
+            cross_attention_dim=512,
+            norm_num_groups=32,
+            sample_size=32,
+            remat=True,
+        ),
+        vae=VAEConfig(
+            block_out_channels=(64, 128, 256),
+            layers_per_block=2,
+            norm_num_groups=16,
+            sample_size=128,
+        ),
+        text=TextEncoderConfig(
+            vocab_size=512, hidden_size=512, num_layers=4, num_heads=8,
+            max_length=16, intermediate_size=1024,
+        ),
+        sampler=SamplerConfig(ensemble=1),
+        render=RenderConfig(resolution=128, env_res=64, env_min_res=8,
+                            max_mip_level=3, raster_chunk=512),
+        data=DataConfig(resolution=128, texture_res=128,
+                        v_pad=8192, t_pad=16384, random_camera=True),
+        train=TrainConfig(batch_size_per_device=8, learning_rate=1e-4,
+                          checkpoint_every=1000, validation_every=1000),
+    )
+
+
 def tiny(latent_size: int = 8) -> SystemConfig:
     """A minute system for tests: same topology, toy widths."""
     return SystemConfig(

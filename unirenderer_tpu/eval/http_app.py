@@ -7,7 +7,7 @@ base64 PNGs.  Single-threaded on purpose: the pipeline holds one set of
 device buffers, and the TPU runs one program at a time anyway.
 
 Usage:
-  python -m unirenderer_tpu.eval.http_app [--config tiny|small|flagship]
+  python -m unirenderer_tpu.eval.http_app [--config tiny|small|medium|flagship]
       [--ckpt DIR|.npz] [--vae-ckpt DIR|.npz] [--steps 20] [--ensemble 5]
       [--port 7860]
 """
@@ -198,7 +198,7 @@ def build_backend(config_name: str, ckpt: Optional[str],
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="flagship",
-                    choices=("tiny", "small", "flagship"))
+                    choices=("tiny", "small", "medium", "flagship"))
     ap.add_argument("--ckpt")
     ap.add_argument("--vae-ckpt")
     ap.add_argument("--steps", type=int, default=20)
