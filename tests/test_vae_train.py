@@ -86,3 +86,36 @@ def test_small_config_geometry():
                                    deterministic=True)
     assert img_out.shape == img.shape
     assert attr_out.shape == attr.shape
+
+
+def test_train_vae_warm_start_from_npz(tmp_path):
+    """--init-params warm-start (round 5): continue training an earlier
+    round's exported VAE instead of restarting — params at step 0 of the
+    new run must equal the npz, and a workdir checkpoint still wins."""
+    from unirenderer_tpu.core.checkpoint import save_params_npz
+    cfg = config.tiny()
+    batches = itertools.islice(synthetic_batches(cfg, 2), 3)
+    state = train_vae(cfg, batches, str(tmp_path / "a"), max_steps=2,
+                      lr=1e-3, checkpoint_every=1000)
+    npz = str(tmp_path / "vae.npz")
+    save_params_npz(npz, jax.device_get(state.params), step=2,
+                    dtype="float32")
+
+    # warm-start: 0 further steps -> final params == the export
+    state2 = train_vae(cfg, iter(()), str(tmp_path / "b"), max_steps=0,
+                       lr=1e-3, init_params=npz)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(state2.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7, rtol=1e-7)
+
+    # a geometry mismatch is a clear error, not silent garbage
+    with pytest.raises(ValueError, match="does not match"):
+        train_vae(config.small(), iter(()), str(tmp_path / "c"),
+                  max_steps=0, lr=1e-3, init_params=npz)
+
+    # resume precedence: the workdir-a checkpoint (step 2) wins over npz
+    batches = itertools.islice(synthetic_batches(cfg, 2), 3)
+    state3 = train_vae(cfg, batches, str(tmp_path / "a"), max_steps=3,
+                       lr=1e-3, init_params=npz, checkpoint_every=1000)
+    assert int(state3.step) == 3

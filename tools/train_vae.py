@@ -46,6 +46,10 @@ def main(argv=None):
                          "distributions)")
     ap.add_argument("--cache-dir",
                     help="persist/reuse the pre-rendered pool here")
+    ap.add_argument("--init-params",
+                    help="warm-start from a .npz params export "
+                         "(tools/export_params.py) instead of random init; "
+                         "an existing workdir checkpoint still wins")
     args = ap.parse_args(argv)
 
     import jax
@@ -92,7 +96,8 @@ def main(argv=None):
     state = train_vae(cfg, batches, args.workdir, args.steps, lr=args.lr,
                       kl_weight=args.kl_weight, seed=args.seed,
                       dtype=jnp.float32, lr_schedule=args.lr_schedule,
-                      lr_warmup=args.lr_warmup)
+                      lr_warmup=args.lr_warmup,
+                      init_params=args.init_params or "")
     print(f"finished at step {int(jax.device_get(state.step))} "
           f"(target {args.steps}); "
           f"checkpoints in {args.workdir}/vae_checkpoints")

@@ -114,18 +114,44 @@ def train_vae(cfg: SystemConfig, batch_iterator: Iterator[dict],
               kl_weight: float = 1e-6, seed: int = 0,
               log_every: int = 25, checkpoint_every: int = 1000,
               dtype=jnp.float32, lr_schedule: str = "constant",
-              lr_warmup: int = 500):
+              lr_warmup: int = 500, init_params: str = ""):
     """Drive VAE training from the shared batch iterators; checkpoints are
-    CheckpointManager-compatible (restore_params digs out params)."""
+    CheckpointManager-compatible (restore_params digs out params).
+
+    init_params: optional .npz export (core/checkpoint.save_params_npz)
+    to warm-start from — raise the recon ceiling of an earlier round's
+    VAE by continuing training instead of restarting (round-5 priority:
+    every downstream map PSNR is bounded by VAE recon quality).  A
+    checkpoint already present in workdir takes precedence (resume wins
+    over warm-start, same contract as tools/train.py --init-params)."""
     import os
 
     import numpy as np
 
-    from unirenderer_tpu.core.checkpoint import AsyncSaver, CheckpointManager
+    from unirenderer_tpu.core.checkpoint import (
+        AsyncSaver, CheckpointManager, load_params_npz,
+    )
     from unirenderer_tpu.core.tracing import MetricLogger
     from unirenderer_tpu.models.vae import init_vae
 
     vae, params = init_vae(cfg.vae, jax.random.key(seed), dtype=dtype)
+    if init_params:
+        warm, wstep = load_params_npz(init_params)
+        try:
+            chex_ok = jax.tree.map(lambda a, b: a.shape == jnp.shape(b),
+                                   params, warm)
+            ok = all(jax.tree.leaves(chex_ok))
+        except ValueError:
+            ok = False      # tree structures differ (different config)
+        if not ok:
+            raise ValueError(
+                f"{init_params} does not match the {cfg.vae} geometry — "
+                "warm starts do not transfer across configs")
+        params = jax.tree.map(
+            lambda ref, w: jnp.asarray(w, jnp.asarray(ref).dtype),
+            params, warm)
+        print(f"[vae] warm-start params from {init_params} "
+              f"(exported at step {wstep})", flush=True)
     lr = vae_lr_schedule(lr, lr_schedule, max_steps, lr_warmup)
     state = create_vae_train_state(params, lr)
     ckpt = CheckpointManager(os.path.join(workdir, "vae_checkpoints"))
