@@ -119,3 +119,19 @@ def test_train_vae_warm_start_from_npz(tmp_path):
     state3 = train_vae(cfg, batches, str(tmp_path / "a"), max_steps=3,
                        lr=1e-3, init_params=npz, checkpoint_every=1000)
     assert int(state3.step) == 3
+
+
+def test_train_vae_scene_bank(tmp_path):
+    """Fresh-scenes VAE training (round 5): scenes sampled + rendered
+    inside the jitted step; loss is finite, steps advance, checkpoints
+    land — no host batch iterator at all."""
+    from unirenderer_tpu.core.checkpoint import CheckpointManager
+    from unirenderer_tpu.data.scene_bank import synthetic_bank
+    cfg = config.tiny()
+    bank = synthetic_bank(cfg.data)
+    state = train_vae(cfg, iter(()), str(tmp_path), max_steps=2,
+                      lr=1e-3, scene_bank=bank, bank_batch=2,
+                      checkpoint_every=1000)
+    assert int(state.step) == 2
+    cm = CheckpointManager(str(tmp_path / "vae_checkpoints"))
+    assert cm.latest_step() == 2

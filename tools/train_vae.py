@@ -50,7 +50,17 @@ def main(argv=None):
                     help="warm-start from a .npz params export "
                          "(tools/export_params.py) instead of random init; "
                          "an existing workdir checkpoint still wins")
+    ap.add_argument("--scene-bank", action="store_true",
+                    help="device-resident scene bank: render fresh random "
+                         "scenes INSIDE the jitted step (zero per-step host "
+                         "IO, infinite effective dataset) instead of the "
+                         "host collate/cache pool")
+    ap.add_argument("--no-augment", action="store_true",
+                    help="disable the scene-bank augmentations")
     args = ap.parse_args(argv)
+    if args.scene_bank and (args.synthetic or args.cache_batches):
+        ap.error("--scene-bank excludes --synthetic/--cache-batches "
+                 "(it samples fresh scenes from the device bank)")
 
     import jax
 
@@ -66,7 +76,21 @@ def main(argv=None):
     cfg = getattr(config, name)()
     res = args.resolution or cfg.vae.sample_size
 
-    if args.synthetic:
+    bank = None
+    if args.scene_bank:
+        from unirenderer_tpu.data.scene_bank import load_scene_bank
+        if args.resolution:
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data,
+                                              resolution=args.resolution))
+        bank = load_scene_bank(args.mesh_dir, args.env_dir, cfg.data)
+        n_m, n_e = bank["v_pos"].shape[0], bank["diffuse"].shape[0]
+        mb = sum(a.nbytes for a in bank.values()) / 1e6
+        print(f"[vae] scene bank: {n_m} meshes, {n_e} envs, {mb:.0f} MB "
+              f"device-resident", flush=True)
+        batches = iter(())
+    elif args.synthetic:
         batches = synthetic_batches(cfg, args.batch, seed=args.seed)
     else:
         from unirenderer_tpu.data.input_pipeline import input_pipeline
@@ -97,7 +121,9 @@ def main(argv=None):
                       kl_weight=args.kl_weight, seed=args.seed,
                       dtype=jnp.float32, lr_schedule=args.lr_schedule,
                       lr_warmup=args.lr_warmup,
-                      init_params=args.init_params or "")
+                      init_params=args.init_params or "",
+                      scene_bank=bank, bank_batch=args.batch,
+                      augment=not args.no_augment)
     print(f"finished at step {int(jax.device_get(state.step))} "
           f"(target {args.steps}); "
           f"checkpoints in {args.workdir}/vae_checkpoints")

@@ -109,12 +109,41 @@ def make_vae_train_step(vae, lr: float, kl_weight: float = 1e-6):
     return vae_step
 
 
+def make_vae_bank_train_step(cfg: SystemConfig, vae, lr, batch_size: int,
+                             kl_weight: float = 1e-6, augment: bool = True):
+    """Fresh-scenes VAE training (round 5): sample a NEW random batch of
+    scenes from the device-resident bank, render all 8 modality maps, and
+    train the VAE on the stacked (8B,H,W,3) recon batch — ONE XLA program
+    per step whose only inputs are (state, bank, rng).  Same rationale as
+    train_step.make_bank_train_step: the finite cached pool both bounds
+    data diversity (the VAE recon ceiling caps every downstream map PSNR)
+    and paid 4.5 s/batch host->device collate through the relay."""
+    base = make_vae_train_step(vae, lr, kl_weight)
+    res = cfg.data.resolution
+    ss = cfg.data.ssaa
+
+    def bank_step(state: VAETrainState, bank, rng
+                  ) -> Tuple[VAETrainState, Dict[str, jax.Array]]:
+        from unirenderer_tpu.data.objaverse import collate_from_scene
+        from unirenderer_tpu.data.scene_bank import sample_scenes
+        scene_rng = jax.random.fold_in(jax.random.fold_in(rng, state.step),
+                                       0x5CE7E1)
+        scene = sample_scenes(bank, scene_rng, batch_size, cfg.data,
+                              augment=augment)
+        batch = collate_from_scene(scene, res, ssaa=ss)
+        images = stack_modalities(batch)
+        return base(state, images, rng)
+
+    return bank_step
+
+
 def train_vae(cfg: SystemConfig, batch_iterator: Iterator[dict],
               workdir: str, max_steps: int, lr: float = 1e-4,
               kl_weight: float = 1e-6, seed: int = 0,
               log_every: int = 25, checkpoint_every: int = 1000,
               dtype=jnp.float32, lr_schedule: str = "constant",
-              lr_warmup: int = 500, init_params: str = ""):
+              lr_warmup: int = 500, init_params: str = "",
+              scene_bank=None, bank_batch: int = 4, augment: bool = True):
     """Drive VAE training from the shared batch iterators; checkpoints are
     CheckpointManager-compatible (restore_params digs out params).
 
@@ -123,7 +152,11 @@ def train_vae(cfg: SystemConfig, batch_iterator: Iterator[dict],
     VAE by continuing training instead of restarting (round-5 priority:
     every downstream map PSNR is bounded by VAE recon quality).  A
     checkpoint already present in workdir takes precedence (resume wins
-    over warm-start, same contract as tools/train.py --init-params)."""
+    over warm-start, same contract as tools/train.py --init-params).
+
+    scene_bank: optional device-resident bank (data/scene_bank) — fresh
+    random scenes rendered INSIDE the jitted step replace batch_iterator
+    entirely (bank_batch scenes x 8 modality maps per step)."""
     import os
 
     import numpy as np
@@ -162,8 +195,16 @@ def train_vae(cfg: SystemConfig, batch_iterator: Iterator[dict],
         state = jax.tree.map(jnp.asarray, ckpt.restore(start, host_state))
         print(f"[vae] resumed from step {start}")
     logger = MetricLogger(os.path.join(workdir, "vae_metrics.jsonl"))
-    step_fn = jax.jit(make_vae_train_step(vae, lr, kl_weight),
-                      donate_argnums=(0,))
+    if scene_bank is not None:
+        bank = jax.tree.map(jnp.asarray, scene_bank)   # to device, once
+        bank_fn = jax.jit(make_vae_bank_train_step(
+            cfg, vae, lr, bank_batch, kl_weight, augment=augment),
+            donate_argnums=(0,))
+        step_fn = lambda state, _img, rng: bank_fn(state, bank, rng)
+        batch_iterator = iter(lambda: None, 1)         # infinite Nones
+    else:
+        step_fn = jax.jit(make_vae_train_step(vae, lr, kl_weight),
+                          donate_argnums=(0,))
     rng = jax.random.key(seed + 1)
 
     step = int(state.step)
@@ -172,7 +213,7 @@ def train_vae(cfg: SystemConfig, batch_iterator: Iterator[dict],
         if step >= max_steps:
             exit_reason = f"reached max_steps={max_steps}"
             break
-        images = stack_modalities(batch)
+        images = stack_modalities(batch) if batch is not None else None
         state, metrics = step_fn(state, images, rng)
         step += 1
         if step % log_every == 0 or step == 1:
