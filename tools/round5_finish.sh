@@ -192,4 +192,29 @@ if hardstop_check "bench preflight" 1800; then
   echo "=== bench preflight rc=$RC: $(cat /tmp/bench_preflight_r05.json)"
 fi
 
+# ---- 10. VAE v2 with whatever window remains (round-5 priority #2) ----------
+# Fresh-scenes warm-start fine-tune from the round-4 VAE (32.3dB recon
+# ceiling bounds every map PSNR).  --steps never self-completes inside the
+# window; the periodic checkpoint (every 1000 steps) is what gets exported.
+REM=$(( HARDSTOP - $(date +%s) - 900 ))
+if [ "$REM" -ge 2400 ]; then
+  echo "=== $(date -u) VAE v2 stage: ${REM}s window"
+  timeout "$REM" python tools/train_vae.py --workdir "$ROOT/vae2" \
+    --config small --scene-bank \
+    --mesh-dir "$ROOT/all_meshes" --env-dir "$ROOT/all_envs" \
+    --steps 400000 --batch 6 --lr 5e-5 \
+    --init-params artifacts/r04/vae_small.npz
+  RC=$?; echo "=== $(date -u) vae2 rc=$RC"; probe_if_timeout $RC
+  UNIRENDER_PLATFORM=cpu timeout 600 python tools/export_params.py \
+    --ckpt "$ROOT/vae2/vae_checkpoints" --out artifacts/r05/vae_small_v2.npz
+  tail -100 "$ROOT/vae2/vae_metrics.jsonl" \
+    > artifacts/r05/vae2_metrics_tail.jsonl 2>/dev/null
+  if [ -s artifacts/r05/vae_small_v2.npz ]; then
+    git add artifacts/r05 && git commit -m "VAE v2 (round-5 leftover window): scene-bank fresh-scenes fine-tune warm-started from the round-4 16k-step VAE — raising the recon ceiling that bounds every map PSNR; round 6 re-trains/fine-tunes the dual stream against it (latent re-encode consistency)"
+    echo "=== committed vae_small_v2"
+  fi
+else
+  echo "=== $(date -u) VAE v2 stage skipped (only ${REM}s left)"
+fi
+
 echo "=== $(date -u) round5 finish script complete"
