@@ -21,6 +21,24 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# Modules dominated by XLA:CPU compiles of the big fused programs (full
+# train steps, jitted sampling scans, fused raster+VAE+train) — the full
+# suite costs ~47 min on the 1-core host, almost all of it here.  Everything
+# else is auto-marked `quick`; `pytest -m quick` is the <5-min smoke.
+_SLOW_MODULES = {
+    "test_eval_quality", "test_legacy_pipelines", "test_parallel_train",
+    "test_pipeline", "test_render_in_step", "test_samplers",
+    "test_scene_bank", "test_sd_port_e2e", "test_trainer",
+    "test_training_learns", "test_vae_train", "test_validation",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.module.__name__
+        item.add_marker(pytest.mark.slow if name in _SLOW_MODULES
+                        else pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def eight_devices():

@@ -156,8 +156,9 @@ def test_params_npz_roundtrip(tmp_path):
     from unirenderer_tpu.core.checkpoint import (
         load_params_npz, save_params_npz,
     )
-    params = {"params": {"conv": {"kernel": np.random.randn(3, 3, 4, 8)
-                                  .astype(np.float32),
+    rng = np.random.default_rng(0)
+    kernel = rng.standard_normal((3, 3, 4, 8)).astype(np.float32)
+    params = {"params": {"conv": {"kernel": kernel,
                                   "bias": np.zeros(8, np.float32)},
                          "emb": {"table": np.arange(12, dtype=np.int32)}}}
     path = str(tmp_path / "p.npz")
@@ -167,8 +168,9 @@ def test_params_npz_roundtrip(tmp_path):
     assert loaded["params"]["emb"]["table"].dtype == np.int32
     k = loaded["params"]["conv"]["kernel"]
     assert k.dtype == np.float32          # upcast on load
-    np.testing.assert_allclose(k, params["params"]["conv"]["kernel"],
-                               atol=1e-3)
+    # the exact contract: load == f16 quantization of the saved f32
+    np.testing.assert_array_equal(
+        k, kernel.astype(np.float16).astype(np.float32))
     # jax tree structure identical
     assert (jax.tree_util.tree_structure(loaded)
             == jax.tree_util.tree_structure(params))
