@@ -316,3 +316,49 @@ def test_unipc_second_order_beats_ddim_on_ode():
         err_u = np.abs(u - dense).mean()
         err_d = np.abs(d - dense).mean()
         assert err_u < err_d, (n, err_u, err_d)
+
+
+def test_unipc_step0_garbage_history_cannot_leak():
+    """Round-5 TPU regression (PERF.md "UniPC scan step-0"): the fused
+    sampling scan on the TPU applied the step-0 corrector despite the
+    `where(step > 0, ...)` mask, amplifying the iterate by the
+    uninitialized-history transition (~-17x) and sinking forward-render
+    PSNR to ~random.  unipc_step now sanitizes the history at the scan
+    boundary so BOTH select branches are identical at step 0 and no
+    inf/NaN is ever computed.  This test poisons the init history with
+    NaN: the step-0 output must be finite and bit-equal to the clean run
+    — i.e. the history cannot influence step 0 through ANY code path."""
+    sch = DiffusionSchedule.create(DiffusionConfig())
+    shape = (2, 4, 4, 4)
+    x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+    x0p = 0.3 * jax.random.normal(jax.random.key(1), shape, jnp.float32)
+
+    clean = samplers.UniPCState.init(shape, jnp.float32)
+    bad = jnp.full(shape, jnp.nan, jnp.float32)
+    poisoned = samplers.UniPCState(
+        m0=bad, m1=bad, t0=jnp.int32(0), t1=jnp.int32(0),
+        last_sample=bad, step=jnp.int32(0))
+
+    st_c, x_c = samplers.unipc_step(sch, clean, x, x0p, 999, 949, False)
+    st_p, x_p = samplers.unipc_step(sch, poisoned, x, x0p, 999, 949, False)
+    assert bool(jnp.isfinite(x_c).all())
+    np.testing.assert_array_equal(np.asarray(x_c), np.asarray(x_p))
+    # the carried history itself must also be clean after step 0
+    for leaf_c, leaf_p in zip(jax.tree.leaves(st_c), jax.tree.leaves(st_p)):
+        np.testing.assert_array_equal(np.asarray(leaf_c), np.asarray(leaf_p))
+
+
+def test_unipc_corrector_identity_at_step0_under_forced_apply():
+    """The step-0 corrector must be the exact identity even when applied
+    unconditionally (the TPU select bug applied it): sanitized history
+    makes x_corr == x with h == 0 and every division guarded."""
+    sch = DiffusionSchedule.create(DiffusionConfig())
+    shape = (1, 4, 4, 4)
+    x = jax.random.normal(jax.random.key(2), shape, jnp.float32)
+    x0p = 0.5 * jax.random.normal(jax.random.key(3), shape, jnp.float32)
+    # corrector with history == (x, x0p, t): transition t -> t, d1_t == 0
+    out = samplers._uni_bh2_update(
+        sch, x, x0p, jnp.int32(999), jnp.int32(999), x0p, jnp.int32(999),
+        jnp.asarray(False), corrector_mt=x0p)
+    assert bool(jnp.isfinite(out).all())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=0, atol=0)

@@ -1,8 +1,18 @@
 #!/usr/bin/env python
-"""Bisect pipe._sample (9.2dB) vs hand loop (24.4dB) on identical inputs."""
+"""Per-step scan-vs-eager divergence tracer for the UniPC sampler.
+
+diag_bisect_sample.py established: pipe._sample == jitted-scan clone
+bit-exactly (8.3dB), but the EAGER python loop over the SAME unipc_step
+gets 24.4dB.  This script runs both on identical inputs and records, per
+step: max|x0_scan - x0_eager| and max|x_scan - x_eager| — the first step
+where they split localizes the bug (model-eval-under-scan vs sampler
+state math).
+"""
 from __future__ import annotations
 
+import argparse
 import glob
+import json
 import os
 import sys
 
@@ -12,13 +22,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
-    import argparse
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh-dir", default="/tmp/q5/test/meshes")
     ap.add_argument("--env-dir", default="/tmp/q5/test/envs")
     ap.add_argument("--ckpt", default="artifacts/r05/dual_small.npz")
     ap.add_argument("--vae-ckpt", default="artifacts/r04/vae_small.npz")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--out", default="/tmp/diag_bisect2.json")
     args = ap.parse_args()
 
     import jax
@@ -32,8 +42,7 @@ def main():
     from unirenderer_tpu.data.objaverse import ObjaverseDataTest, collate_render
     from unirenderer_tpu.diffusion.samplers import UniPCState, unipc_step
     from unirenderer_tpu.diffusion.schedule import inference_timesteps
-    from unirenderer_tpu.eval import metrics as M
-    from unirenderer_tpu.pipelines import FORWARD_RENDER, UniRendererPipeline
+    from unirenderer_tpu.pipelines import UniRendererPipeline
 
     cfg = config.small()
     res = cfg.vae.sample_size
@@ -50,7 +59,6 @@ def main():
     ds = ObjaverseDataTest(cfg.data, meshes, envs, seed=1234)
     items = [ds[i] for i in range(2)]
     batch = collate_render(items, resolution=res)
-    gt01 = (np.asarray(batch["image"]) + 1) / 2
 
     rng = jax.random.key(1000)
     k_enc, k_noise = jax.random.split(rng)
@@ -65,31 +73,23 @@ def main():
     lat = pipe._encode_maps(maps, k_enc)
     groups = [lat["material"], lat["normal"], lat["albedo"],
               lat["spec_light"], lat["diff_light"], lat["env"]]
-    attr_groups = jnp.stack(groups)
     shape = lat["normal"].shape
     b = shape[0]
     ctx = pipe.blank_context(b)
     head = jnp.concatenate([lat["mask"]] + groups, axis=-1)
     t0 = jnp.zeros((b,), jnp.int32)
     noise = jax.random.normal(k_noise, shape, jnp.float32)
+    n = args.steps
 
-    def psnr_dec(z):
-        a = (np.clip(np.asarray(pipe.decode_latents(z)), -1, 1) + 1) / 2
-        return float(M.psnr(a, gt01))
+    ts = inference_timesteps(cfg.diffusion.num_train_timesteps, n)
+    ts_next = jnp.concatenate([ts[1:], jnp.zeros((1,), jnp.int32)])
+    is_final = jnp.arange(n) == n - 1
 
-    # (a) pipeline path
-    xa, _ = pipe._sample(FORWARD_RENDER, noise, attr_groups, lat["mask"],
-                         ctx, 20)
-    print("A pipe._sample     psnr", psnr_dec(xa), flush=True)
-
-    # (b) jitted scan clone of the hand loop
+    # --- scan path, collecting per-step (x0, x_next) ---
     @jax.jit
-    def scan_clone(params, x0noise):
+    def scan_trace(params, x0noise):
         cd, cm = pipe.dual.apply(params, head, t0, ctx,
                                  method="encode_attr")
-        ts = inference_timesteps(cfg.diffusion.num_train_timesteps, 20)
-        ts_next = jnp.concatenate([ts[1:], jnp.zeros((1,), jnp.int32)])
-        is_final = jnp.arange(20) == 19
         st = UniPCState.init(x0noise.shape, x0noise.dtype)
 
         def body(carry, tt):
@@ -99,39 +99,54 @@ def main():
             x0 = pipe.dual.apply(params, x, tb, ctx, cd, cm,
                                  method="image_stream_with_residuals"
                                  ).astype(jnp.float32)
-            s, x = unipc_step(pipe.schedule, s, x, x0, t, tn, fin)
-            return (x, s), None
+            s, xn = unipc_step(pipe.schedule, s, x, x0, t, tn, fin)
+            return (xn, s), (x0, xn)
 
-        (x, _), _ = jax.lax.scan(body, (x0noise, st),
-                                 (ts, ts_next, is_final))
-        return x
+        (_, _), (x0s, xs) = jax.lax.scan(body, (x0noise, st),
+                                         (ts, ts_next, is_final))
+        return x0s, xs, (cd, cm)
 
-    xb = scan_clone(pipe.dual_params, noise)
-    print("B scan clone       psnr", psnr_dec(xb), flush=True)
-    print("A-B max abs diff", float(jnp.abs(xa - xb).max()), flush=True)
+    x0s_scan, xs_scan, (cd_s, cm_s) = scan_trace(pipe.dual_params, noise)
+    x0s_scan = np.asarray(x0s_scan)
+    xs_scan = np.asarray(xs_scan)
+    print("scan done", flush=True)
 
-    # (c) python loop (known good, 24.4dB)
-    cd, cm = jax.jit(lambda p: pipe.dual.apply(
-        p, head, t0, ctx, method="encode_attr"))(pipe.dual_params)
-
+    # --- eager path on the SAME cd/cm (computed in the scan program) ---
     @jax.jit
-    def x0_fn(params, x, t):
+    def x0_fn(params, x, t, cd, cm):
         tb = jnp.full((b,), t, jnp.int32)
         return pipe.dual.apply(params, x, tb, ctx, cd, cm,
                                method="image_stream_with_residuals"
                                ).astype(jnp.float32)
 
-    ts = np.asarray(inference_timesteps(cfg.diffusion.num_train_timesteps,
-                                        20))
-    ts_next = np.concatenate([ts[1:], [0]]).astype(np.int32)
+    ts_np = np.asarray(ts)
+    tsn_np = np.asarray(ts_next)
     x = noise
     st = UniPCState.init(x.shape, x.dtype)
-    for i, (t, tn) in enumerate(zip(ts, ts_next)):
-        x0p = x0_fn(pipe.dual_params, x, int(t))
-        st, x = unipc_step(pipe.schedule, st, x, x0p, int(t), int(tn),
-                           i == 19)
-    print("C python loop      psnr", psnr_dec(x), flush=True)
-    print("B-C max abs diff", float(jnp.abs(xb - x).max()), flush=True)
+    rows = []
+    for i in range(n):
+        x0p = x0_fn(pipe.dual_params, x, int(ts_np[i]), cd_s, cm_s)
+        # compare the model outputs given the SCAN's input iterate too:
+        x0_on_scan_input = x0_fn(pipe.dual_params,
+                                 jnp.asarray(xs_scan[i - 1]) if i > 0
+                                 else noise,
+                                 int(ts_np[i]), cd_s, cm_s)
+        st, x = unipc_step(pipe.schedule, st, x, x0p, int(ts_np[i]),
+                           int(tsn_np[i]), i == n - 1)
+        row = dict(
+            i=i, t=int(ts_np[i]),
+            d_x0=float(np.abs(x0s_scan[i] - np.asarray(x0p)).max()),
+            d_x0_scaninput=float(
+                np.abs(x0s_scan[i] - np.asarray(x0_on_scan_input)).max()),
+            d_x=float(np.abs(xs_scan[i] - np.asarray(x)).max()),
+            x_norm_eager=float(np.sqrt(np.mean(np.asarray(x) ** 2))),
+            x_norm_scan=float(np.sqrt(np.mean(xs_scan[i] ** 2))),
+        )
+        rows.append(row)
+        print(row, flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=2)
 
 
 if __name__ == "__main__":

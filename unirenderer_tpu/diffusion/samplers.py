@@ -102,6 +102,13 @@ def _uni_bh2_update(schedule: DiffusionSchedule, x: jax.Array,
     hh = -h
     phi1 = jnp.expm1(hh)
     b_h = phi1                                   # bh2: B(h) = expm1(hh)
+    # h == 0 happens by CONSTRUCTION at step 0, where unipc_step feeds the
+    # corrector a sanitized s0 == t so that the update is exactly the
+    # identity (see unipc_step).  Every division below is guarded so that
+    # no inf/NaN is ever produced on that path — 0 * inf would poison the
+    # final -alp_t * b_h * res term even though b_h == 0.
+    safe_hh = jnp.where(hh == 0, 1.0, hh)
+    safe_bh = jnp.where(b_h == 0, 1.0, b_h)
 
     # second-order difference D1 = (m1 - m0)/r1,  r1 = (lam_s1-lam_s0)/h
     r1 = (lam_s1 - lam_s0) / jnp.where(h == 0, 1.0, h)
@@ -118,10 +125,10 @@ def _uni_bh2_update(schedule: DiffusionSchedule, x: jax.Array,
     # Corrector: solve the 2x2 system for rhos_c = R^{-1} b with
     #   R = [[1, 1], [r1, 1]],  b = [phi1/hh - 1, (phi1/hh - 1)/hh - 0.5]
     # (matches diffusers' R/b construction for bh2, order 2).
-    h_phi_k1 = phi1 / hh - 1.0                   # b[0]
-    h_phi_k2 = h_phi_k1 / hh - 0.5               # b[1]
-    b1 = h_phi_k1 / b_h
-    b2 = h_phi_k2 * 2.0 / b_h
+    h_phi_k1 = phi1 / safe_hh - 1.0              # b[0]
+    h_phi_k2 = h_phi_k1 / safe_hh - 0.5          # b[1]
+    b1 = h_phi_k1 / safe_bh
+    b2 = h_phi_k2 * 2.0 / safe_bh
     # order-2 solve of [[1,1],[r1,1]] . [rho_hist, rho_new] = [b1, b2]
     det = jnp.where(jnp.abs(1.0 - safe_r1) < 1e-8, 1.0, 1.0 - safe_r1)
     rho_hist2 = (b1 - b2) / det            # multiplies D1 (history diff)
@@ -147,21 +154,40 @@ def unipc_step(schedule: DiffusionSchedule, state: UniPCState, x: jax.Array,
     """
     step = state.step
 
-    # ---- corrector (skipped at step 0) ----
+    # ---- sanitize the history so step-0/1 garbage can never leak ----
+    # Round-5 finding (PERF.md "UniPC scan step-0"): on the TPU the fused
+    # sampling scan applied the step-0 corrector DESPITE the
+    # `where(step > 0, ...)` mask — the uninitialized-history corrector
+    # (transition lambda(0) -> lambda(999), expm1 ~ 5e2) multiplied the
+    # iterate by ~-17x and sank forward-render PSNR from ~24 to ~8, while
+    # the identical program on CPU and the eager per-step path were
+    # correct.  Rather than depend on which side of a select the compiler
+    # materializes, make BOTH sides equal at the boundary: at step 0 the
+    # corrector's history is (x, x0_pred, t) so h == 0 and the update is
+    # exactly the identity; at step <= 1 m1/t1 fall back to m0/t0 so the
+    # order-2 difference D1 is exactly zero wherever it is masked anyway.
+    first = step == 0
+    last_sample = jnp.where(first, x, state.last_sample)
+    m0 = jnp.where(first, x0_pred, state.m0)
+    t0 = jnp.where(first, t, state.t0)
+    m1 = jnp.where(step <= 1, m0, state.m1)
+    t1 = jnp.where(step <= 1, t0, state.t1)
+
+    # ---- corrector (identity at step 0 by construction) ----
     corr_second = step >= 2          # previous predictor used order 2
     x_corr = _uni_bh2_update(
-        schedule, state.last_sample, state.m0, state.t0, t,
-        state.m1, state.t1, corr_second, corrector_mt=x0_pred)
+        schedule, last_sample, m0, t0, t,
+        m1, t1, corr_second, corrector_mt=x0_pred)
     x = jnp.where(step > 0, x_corr, x)
 
     # ---- predictor t -> t_next ----
     pred_second = (step >= 1) & jnp.logical_not(is_final)
     x_next = _uni_bh2_update(
-        schedule, x, x0_pred, t, t_next, state.m0, state.t0,
+        schedule, x, x0_pred, t, t_next, m0, t0,
         pred_second, corrector_mt=None)
 
     new_state = UniPCState(
-        m0=x0_pred, m1=state.m0, t0=t, t1=state.t0,
+        m0=x0_pred, m1=m0, t0=t, t1=t0,
         last_sample=x, step=step + 1)
     return new_state, x_next
 
