@@ -22,7 +22,7 @@ class CLIPLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
         cfg = self.cfg
-        h = nn.LayerNorm(name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         d = cfg.hidden_size
         hd = d // cfg.num_heads
         q = nn.Dense(d, dtype=self.dtype, name="q")(h)
@@ -35,7 +35,7 @@ class CLIPLayer(nn.Module):
         o = jax.nn.dot_product_attention(q, k, v, bias=mask)
         o = nn.Dense(d, dtype=self.dtype, name="out")(o.reshape(b, s, d))
         x = x + o
-        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
         # CLIP uses quick-gelu
         h = h * nn.sigmoid(1.702 * h)
@@ -62,7 +62,7 @@ class CLIPTextEncoder(nn.Module):
         mask = jnp.where(causal, 0.0, -1e9)[None, None, :, :]
         for i in range(cfg.num_layers):
             x = CLIPLayer(cfg, self.dtype, name=f"layer_{i}")(x, mask)
-        return nn.LayerNorm(name="final_ln")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="final_ln")(x)
 
 
 # Tokenization of the constant blank prompt ' ' with the CLIP BPE tokenizer:

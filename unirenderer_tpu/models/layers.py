@@ -228,7 +228,11 @@ class FeedForwardGEGLU(nn.Module):
 
 
 class BasicTransformerBlock(nn.Module):
-    """LN->self-attn  LN->cross-attn  LN->GEGLU-FF, each residual."""
+    """LN->self-attn  LN->cross-attn  LN->GEGLU-FF, each residual.
+
+    LayerNorm eps is 1e-5 (torch default, as in diffusers' SD blocks) so a
+    ported SD checkpoint reproduces torch activations exactly
+    (tests/test_torch_parity.py)."""
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
@@ -236,12 +240,12 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, ctx: jax.Array) -> jax.Array:
         x = x + Attention(self.num_heads, self.dtype, self.use_flash,
-                          name="attn1")(nn.LayerNorm(dtype=self.dtype,
+                          name="attn1")(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                                      name="norm1")(x))
         x = x + Attention(self.num_heads, self.dtype, name="attn2")(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), ctx)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), ctx)
         x = x + FeedForwardGEGLU(self.dtype, name="ff")(
-            nn.LayerNorm(dtype=self.dtype, name="norm3")(x))
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x))
         return x
 
 
