@@ -39,6 +39,14 @@ def main(argv=None):
                          "the single-chip-trainable configuration")
     args = ap.parse_args(argv)
 
+    # Training defaults to the Pallas flash kernel where it tiles: the
+    # serving-tuned `auto` routing picks xla_dpa at S4096/D40, which
+    # materializes f32 (B,H,4096,4096) score matrices — 2.1GB each in the
+    # flagship 512^2 BACKWARD pass, a guaranteed HBM OOM at batch 4
+    # (measured round 5: 21.2G requested vs 15.75G).  Flash's custom VJP
+    # never materializes scores.  Override via UNIRENDER_ATTN as usual.
+    os.environ.setdefault("UNIRENDER_ATTN", "flash")
+
     import jax
     if os.environ.get("UNIRENDER_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["UNIRENDER_PLATFORM"])

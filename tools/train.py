@@ -94,6 +94,13 @@ def main(argv=None):
     ap.add_argument("--sd-text", help="CLIP text state_dict (.bin)")
     args = ap.parse_args(argv)
 
+    if args.config == "flagship":
+        # The serving-tuned `auto` attention routing materializes f32
+        # (B,H,4096,4096) scores at the 64^2 level via xla_dpa — 2.1GB
+        # each in the flagship backward, an HBM OOM at batch 4 (PERF.md
+        # round 5).  Flash's custom VJP never materializes scores.
+        os.environ.setdefault("UNIRENDER_ATTN", "flash")
+
     import jax
 
     from unirenderer_tpu.utils.runtime import setup_runtime
