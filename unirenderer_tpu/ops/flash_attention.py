@@ -44,13 +44,24 @@ def _block_sizes(s: int, sk: int):
     # (block_q, block_k) 2048/1024 -> 10.1ms vs 11.4ms at 512/512; larger
     # q blocks amortise the online-softmax bookkeeping, bq=4096 exceeds
     # VMEM.  Both divide every SD level (4096/1024/256).
-    bq = min(2048, s)
+    #
+    # Training caveat (round 5, flagship 512^2 compile): under jvp the
+    # kernel runs its save-residuals variant, whose per-block scratch at
+    # bq=2048 needs 22.9MB scoped VMEM vs the v5e's 20.5MB limit — a
+    # guaranteed compile-time OOM.  Serving auto-routes the S=4096 bucket
+    # to xla_dpa (auto_kernel), so TRAINING is the only flash user there:
+    # cap its q block at 1024 (inference cost if forced via
+    # UNIRENDER_ATTN=flash: 10.3ms vs 10.1, sweep above) and keep the
+    # backward (dq/dkv) passes on the library-default 512 blocks, which
+    # are sized to fit scoped VMEM.
+    bq = min(2048 if s < 4096 else 1024, s)
     bk = min(1024, sk)
+    bwq, bwk = min(512, s), min(512, sk)
     return BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
-        block_q_major_dkv=bq, block_k_major_dkv=bk,
-        block_k_dkv=bk, block_q_dkv=bq,
-        block_k_major_dq=bq, block_k_dq=bk, block_q_dq=bq,
+        block_q_major_dkv=bwq, block_k_major_dkv=bwk,
+        block_k_dkv=bwk, block_q_dkv=bwq,
+        block_k_major_dq=bwk, block_k_dq=bwk, block_q_dq=bwq,
     )
 
 
