@@ -269,3 +269,38 @@ def test_tp_fsdp_matches_single_device(setup, eight_devices):
     for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
                     jax.tree_util.tree_leaves(s_tp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_bf16_grad_step_tracks_f32_step(setup):
+    """grad_dtype='bfloat16' (the flagship single-chip memory mode,
+    TrainConfig.grad_dtype) must keep master params f32 and produce an
+    update close to the f32-grad step — same program, grads merely
+    computed w.r.t. the bf16 compute params the model casts to anyway."""
+    import dataclasses
+    cfg, dual, dual_params, vae, vae_params, schedule = setup
+    ctx = jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim))
+    batch = _batch(cfg, 2)
+    rng = jax.random.key(7)
+
+    s32 = create_train_state(cfg, _fresh(dual_params))
+    s32, m32 = jax.jit(make_train_step(cfg, dual, vae, schedule))(
+        s32, vae_params, ctx, batch, rng)
+
+    cfg16 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_dtype="bfloat16"))
+    s16 = create_train_state(cfg16, _fresh(dual_params))
+    s16, m16 = jax.jit(make_train_step(cfg16, dual, vae, schedule))(
+        s16, vae_params, ctx, batch, rng)
+
+    assert np.isfinite(float(m16["loss"]))
+    # near-identical forward: layers whose compute dtype promotes from the
+    # param dtype (flax norm scale/bias application) run bf16 instead of
+    # f32 under this mode, so the loss shifts by O(bf16 eps), not more
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]),
+                               rtol=5e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s16.params),
+                    jax.tree_util.tree_leaves(s32.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == np.float32
+        # updates agree to bf16 grad precision (lr-scaled, so loose)
+        np.testing.assert_allclose(a, b, atol=5e-4)

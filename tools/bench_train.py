@@ -37,6 +37,17 @@ def main(argv=None):
                          "20.9GB for the 1.74B-param flagship (> one "
                          "16GB v5e); adafactor = factored second moments, "
                          "the single-chip-trainable configuration")
+    ap.add_argument("--grad-dtype", choices=("float32", "bfloat16"),
+                    default="float32",
+                    help="bfloat16 halves the weight-grad tree liveness "
+                         "(7.0GB -> 3.5GB for the flagship) — required to "
+                         "fit the 512^2 train step on one 16GB v5e "
+                         "(f32 grads measured 17.25G at batch 2)")
+    ap.add_argument("--max-grad-norm", type=float, default=1.0,
+                    help="<=0 disables global-norm clipping — removes the "
+                         "all-leaves-live barrier at the clip's global "
+                         "reduce (adafactor keeps its own per-update "
+                         "clipping_threshold, the T5/PaLM recipe)")
     args = ap.parse_args(argv)
 
     # Training defaults to the Pallas flash kernel where it tiles: the
@@ -71,7 +82,9 @@ def main(argv=None):
         base,
         unet=dataclasses.replace(base.unet,
                                  use_flash_attention=not args.no_flash),
-        train=dataclasses.replace(base.train, optimizer=args.optimizer))
+        train=dataclasses.replace(base.train, optimizer=args.optimizer,
+                                  grad_dtype=args.grad_dtype,
+                                  max_grad_norm=args.max_grad_norm))
 
     dual = DualStreamModel(cfg.unet, jnp.bfloat16)
     vae = AutoencoderKL(cfg.vae, jnp.bfloat16)
@@ -187,7 +200,8 @@ def main(argv=None):
         "value": round(ms, 1),
         "samples_per_sec_per_chip": round(b / (ms / 1000.0), 3),
         "batch": b, "flash": not args.no_flash,
-        "optimizer": args.optimizer,
+        "optimizer": args.optimizer, "grad_dtype": args.grad_dtype,
+        "max_grad_norm": args.max_grad_norm,
         "compile_s": round(compile_s, 1), "last_loss": round(loss, 4),
         "peak_hbm_gb": peak_hbm_gb,
     }))

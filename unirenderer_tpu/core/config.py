@@ -224,6 +224,14 @@ class TrainConfig:
     contrastive_temperature: float = 0.1
     # precision: params f32, compute bf16 (TPU native; fp16+scaler not needed)
     compute_dtype: str = "bfloat16"
+    # "float32" (default) or "bfloat16": dtype of the backward pass / grad
+    # tree.  bfloat16 differentiates w.r.t. the bf16-cast compute params
+    # (the cast the model applies internally anyway), halving the 7.0GB
+    # f32 weight-grad liveness that blocks flagship 512^2 single-chip
+    # training (TRAIN512_r05: 17.25G > 15.75G HBM at batch 2 with f32
+    # grads).  Master params and optimizer statistics stay f32 — each
+    # grad leaf is upcast transiently inside the fused update.
+    grad_dtype: str = "float32"
     mesh_axes: Tuple[str, ...] = ("data",)
 
 

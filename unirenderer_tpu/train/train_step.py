@@ -63,7 +63,18 @@ def make_optimizer(cfg: SystemConfig) -> optax.GradientTransformation:
         inner = optax.adamw(make_lr_schedule(cfg), b1=t.adam_beta1,
                             b2=t.adam_beta2,
                             eps=t.adam_eps, weight_decay=t.adam_weight_decay)
-    opt = optax.chain(optax.clip_by_global_norm(t.max_grad_norm), inner)
+    # max_grad_norm <= 0 disables global-norm clipping.  Beyond reference
+    # parity (the ref always clips at 1.0) this is a MEMORY lever: the
+    # global norm is a barrier that forces the entire grad tree live at
+    # once (measured: the flagship 512^2 OOM dump's largest allocations
+    # are grad leaves pinned by optax clip_by_global_norm's reduce);
+    # without it each leaf dies into its per-leaf optimizer update.
+    # Adafactor retains its own per-update clipping_threshold=1.0
+    # (T5/PaLM recipe), so training stays bounded.
+    if t.max_grad_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(t.max_grad_norm), inner)
+    else:
+        opt = inner
     if t.gradient_accumulation_steps > 1:
         opt = optax.MultiSteps(opt, t.gradient_accumulation_steps)
     return opt
@@ -142,12 +153,27 @@ def make_train_step(cfg: SystemConfig, dual, vae, schedule: DiffusionSchedule):
         return dual_stream_loss(img_pred, attr_pred, latents_img, attr24,
                                 cycle_pred, is_inv, cfg.train)
 
+    grad_bf16 = cfg.train.grad_dtype == "bfloat16"
+
     def train_step(state: TrainState, vae_params, ctx, batch, rng
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, metrics), grads = grad_fn(state.params, vae_params, ctx, batch,
+        diff_params = state.params
+        if grad_bf16:
+            # Differentiate w.r.t. the bf16 compute params (the cast flax
+            # applies at every use site anyway, so the forward is
+            # unchanged); the grad tree comes out bf16 — 3.5GB instead of
+            # 7.0GB live for the flagship (TrainConfig.grad_dtype notes).
+            diff_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, state.params)
+        (_, metrics), grads = grad_fn(diff_params, vae_params, ctx, batch,
                                       rng)
+        if grad_bf16:
+            # Leaf-wise upcast: fuses into the per-leaf optimizer update,
+            # so the f32 copy of each grad is transient, never the tree.
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         updates, opt_state = opt.update(grads["params"], state.opt_state,
                                         state.params["params"])
         params = {"params": optax.apply_updates(state.params["params"],
