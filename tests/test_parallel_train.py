@@ -304,3 +304,31 @@ def test_bf16_grad_step_tracks_f32_step(setup):
         assert a.dtype == np.float32
         # updates agree to bf16 grad precision (lr-scaled, so loose)
         np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_two_phase_step_matches_fused(setup):
+    """make_two_phase_train_step (the flagship single-chip fragmentation
+    workaround, PERF.md round 5) must produce the same params as the fused
+    step — same ops, split at the grads boundary."""
+    from unirenderer_tpu.train.train_step import make_two_phase_train_step
+    cfg, dual, dual_params, vae, vae_params, schedule = setup
+    ctx = jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim))
+    batch = _batch(cfg, 2)
+    rng = jax.random.key(11)
+
+    s_f = create_train_state(cfg, _fresh(dual_params))
+    s_f, m_f = jax.jit(make_train_step(cfg, dual, vae, schedule))(
+        s_f, vae_params, ctx, batch, rng)
+
+    g_raw, u_raw = make_two_phase_train_step(cfg, dual, vae, schedule)
+    s_t = create_train_state(cfg, _fresh(dual_params))
+    grads, m_t = jax.jit(g_raw)(s_t.params, vae_params, ctx, batch, rng,
+                                s_t.step)
+    s_t = jax.jit(u_raw, donate_argnums=(0, 1))(s_t, grads)
+
+    assert int(s_t.step) == 1
+    np.testing.assert_allclose(float(m_t["loss"]), float(m_f["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_t.params),
+                    jax.tree_util.tree_leaves(s_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

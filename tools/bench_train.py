@@ -43,6 +43,12 @@ def main(argv=None):
                          "(7.0GB -> 3.5GB for the flagship) — required to "
                          "fit the 512^2 train step on one 16GB v5e "
                          "(f32 grads measured 17.25G at batch 2)")
+    ap.add_argument("--two-phase", action="store_true",
+                    help="run the step as two jitted programs (grads | "
+                         "optimizer update) — same numerics, one extra "
+                         "dispatch; sidesteps the fused program's 35%% "
+                         "allocator fragmentation (3.26G at flagship "
+                         "512^2 b1) that OOMs the single chip")
     ap.add_argument("--max-grad-norm", type=float, default=1.0,
                     help="<=0 disables global-norm clipping — removes the "
                          "all-leaves-live barrier at the clip's global "
@@ -166,7 +172,27 @@ def main(argv=None):
         raw_step = make_train_step(cfg, dual, vae, schedule)
         metric_name = "train_step_ms_512_flagship"
 
-    step_fn = jax.jit(raw_step, donate_argnums=(0,))
+    if args.two_phase:
+        from unirenderer_tpu.train.train_step import make_two_phase_train_step
+        bt = None
+        if args.render_in_step:
+            from unirenderer_tpu.data.objaverse import collate_from_scene
+
+            def bt(scene):
+                full = collate_from_scene(scene, cfg.data.resolution,
+                                          ssaa=cfg.data.ssaa, bg=1.0)
+                return {k: full[k] for k in BATCH_KEYS}
+        g_raw, u_raw = make_two_phase_train_step(cfg, dual, vae, schedule,
+                                                 batch_transform=bt)
+        g_fn = jax.jit(g_raw)
+        u_fn = jax.jit(u_raw, donate_argnums=(0, 1))
+
+        def step_fn(state, vp, c, batch, rng):
+            grads, metrics = g_fn(state.params, vp, c, batch, rng,
+                                  state.step)
+            return u_fn(state, grads), metrics
+    else:
+        step_fn = jax.jit(raw_step, donate_argnums=(0,))
     state = create_train_state(cfg, dual_params)
 
     rng = jax.random.key(0)
@@ -201,7 +227,7 @@ def main(argv=None):
         "samples_per_sec_per_chip": round(b / (ms / 1000.0), 3),
         "batch": b, "flash": not args.no_flash,
         "optimizer": args.optimizer, "grad_dtype": args.grad_dtype,
-        "max_grad_norm": args.max_grad_norm,
+        "max_grad_norm": args.max_grad_norm, "two_phase": args.two_phase,
         "compile_s": round(compile_s, 1), "last_loss": round(loss, 4),
         "peak_hbm_gb": peak_hbm_gb,
     }))

@@ -86,13 +86,10 @@ def create_train_state(cfg: SystemConfig, params) -> TrainState:
                       opt_state=opt.init(params["params"]))
 
 
-def make_train_step(cfg: SystemConfig, dual, vae, schedule: DiffusionSchedule):
-    """Returns train_step(state, vae_params, ctx, batch, rng) -> (state, metrics).
-
-    `ctx` is the cached blank-prompt text context (1, 77, D) — the reference
-    re-runs CLIP on ' ' every step (train/train.py:1313-1321); we don't.
-    """
-    opt = make_optimizer(cfg)
+def make_loss_fn(cfg: SystemConfig, dual, vae, schedule: DiffusionSchedule):
+    """The dual-schedule loss (reference train/train.py:1234-1427) as a
+    standalone loss_fn(params, vae_params, ctx, batch, rng) -> (loss, aux),
+    shared by the fused train step and the two-phase variant."""
     scaling = cfg.vae.scaling_factor
     n_train_t = cfg.diffusion.num_train_timesteps
 
@@ -153,6 +150,24 @@ def make_train_step(cfg: SystemConfig, dual, vae, schedule: DiffusionSchedule):
         return dual_stream_loss(img_pred, attr_pred, latents_img, attr24,
                                 cycle_pred, is_inv, cfg.train)
 
+    return loss_fn
+
+
+def _cast_like_compute(params):
+    """f32 leaves -> bf16 (the cast flax applies at every use site)."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, params)
+
+
+def make_train_step(cfg: SystemConfig, dual, vae, schedule: DiffusionSchedule):
+    """Returns train_step(state, vae_params, ctx, batch, rng) -> (state, metrics).
+
+    `ctx` is the cached blank-prompt text context (1, 77, D) — the reference
+    re-runs CLIP on ' ' every step (train/train.py:1313-1321); we don't.
+    """
+    opt = make_optimizer(cfg)
+    loss_fn = make_loss_fn(cfg, dual, vae, schedule)
     grad_bf16 = cfg.train.grad_dtype == "bfloat16"
 
     def train_step(state: TrainState, vae_params, ctx, batch, rng
@@ -165,9 +180,7 @@ def make_train_step(cfg: SystemConfig, dual, vae, schedule: DiffusionSchedule):
             # applies at every use site anyway, so the forward is
             # unchanged); the grad tree comes out bf16 — 3.5GB instead of
             # 7.0GB live for the flagship (TrainConfig.grad_dtype notes).
-            diff_params = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x, state.params)
+            diff_params = _cast_like_compute(state.params)
         (_, metrics), grads = grad_fn(diff_params, vae_params, ctx, batch,
                                       rng)
         if grad_bf16:
@@ -182,6 +195,55 @@ def make_train_step(cfg: SystemConfig, dual, vae, schedule: DiffusionSchedule):
         return TrainState(state.step + 1, params, opt_state), metrics
 
     return train_step
+
+
+def make_two_phase_train_step(cfg: SystemConfig, dual, vae,
+                              schedule: DiffusionSchedule,
+                              batch_transform=None):
+    """The train step as TWO jitted programs — (grad_step, update_step) —
+    with numerics identical to the fused step (same ops, same order).
+
+    Why: the fused flagship 512^2 program OOMs a 16GB v5e not on real
+    liveness but on allocator FRAGMENTATION — the compiler dump shows
+    5.94G of actual temps inflated to 9.20G by 35% fragmentation, because
+    forward activations, the full weight-grad tree and optimizer temps all
+    pack into one arena (PERF.md round-5 memory-wall log).  Splitting at
+    the grads boundary gives each program a small, uniform working set:
+
+      grad_step   peak ~= params(args) + activations + grad outputs
+      update_step peak ~= params(args) + grads(args, donated) + aliased out
+
+    Cost: one extra dispatch per step and the grad tree round-trips HBM
+    between programs (it stays on device; nothing crosses the host).
+
+    `batch_transform` (optional, traced inside grad_step) maps the raw
+    input to the 8-modality batch — pass a render collate to get the
+    two-phase equivalent of make_render_train_step.
+    """
+    opt = make_optimizer(cfg)
+    loss_fn = make_loss_fn(cfg, dual, vae, schedule)
+    grad_bf16 = cfg.train.grad_dtype == "bfloat16"
+
+    def grad_step(params, vae_params, ctx, batch, rng, step):
+        rng = jax.random.fold_in(rng, step)
+        if batch_transform is not None:
+            batch = batch_transform(batch)
+        diff_params = _cast_like_compute(params) if grad_bf16 else params
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(diff_params, vae_params, ctx, batch,
+                                      rng)
+        return grads, metrics
+
+    def update_step(state: TrainState, grads) -> TrainState:
+        if grad_bf16:
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        updates, opt_state = opt.update(grads["params"], state.opt_state,
+                                        state.params["params"])
+        params = {"params": optax.apply_updates(state.params["params"],
+                                                updates)}
+        return TrainState(state.step + 1, params, opt_state)
+
+    return grad_step, update_step
 
 
 def make_render_train_step(cfg: SystemConfig, dual, vae,
